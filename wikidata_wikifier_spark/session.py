@@ -1,0 +1,51 @@
+"""SparkSession construction tuned for the wikification workload.
+
+Design notes (100 TB target, tested on local[32]):
+- AQE on everywhere: runtime coalescing of shuffle partitions, skew-join
+  splitting (mega-repos / head entities per SURVEY.md §4), and dynamic
+  broadcast-join demotion/promotion.
+- Arrow on for every pandas-UDF exchange; batch size capped so a candidate
+  fan-out of millions of rows per executor never materializes one giant
+  pandas frame (reference scaler was fit on ~2M candidate rows).
+- shuffle.partitions defaults to cores in local mode; on a real cluster the
+  job submitter should set it to ~2-3x total cores (AQE coalesces down).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "wikidata-wikifier-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cores = default_parallelism()
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
+    shuffle_partitions = shuffle_partitions or cores
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
