@@ -87,8 +87,12 @@ def _jaro(s1: str, s2: str) -> float:
 
 
 def jaro_winkler(s1: str, s2: str, p: float = 0.1, max_prefix: int = 4) -> float:
-    """Standard Jaro-Winkler (no boost threshold — matches DuckDB)."""
+    """Jaro-Winkler with the standard 0.7 boost threshold (prefix bonus
+    only when the Jaro score exceeds 0.7) — matches DuckDB's
+    jaro_winkler_similarity bit-for-bit (tests/test_strings.py)."""
     j = _jaro(s1, s2)
+    if j <= 0.7:
+        return j
     prefix = 0
     for c1, c2 in zip(s1[:max_prefix], s2[:max_prefix]):
         if c1 != c2:

@@ -1,0 +1,295 @@
+"""Feature computation over the candidate table (SURVEY.md §2.4).
+
+Mirrors the reference's second `tl` chain (wikifier/wikifier.py:148-210):
+string similarities, singleton, high-confidence pick, context match,
+kth-percentile anchoring, semantic TF-IDF (class/property), pgr_rts,
+mosaic features, embedding centroid scoring.
+
+Execution notes for scale:
+- Everything except monge-elkan/jaro-winkler is a NATIVE column
+  expression or window/groupBy aggregate (whole-stage codegen).
+- The two string-sim UDFs are Arrow pandas UDFs, batch-vectorized.
+- Window functions partition by the mention key (row) or by the target
+  column — bounded partitions, no global sort.
+- TF-IDF is two tiny aggregates (anchor class counts, global document
+  frequencies) broadcast-joined back to the candidate table: at 100 TB the
+  aggregates are KBs (one row per class), the candidate table never
+  re-shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.strings import (
+    jaro_winkler_udf,
+    levenshtein_similarity,
+    monge_elkan_max_over_aliases_udf,
+    symmetric_monge_elkan_udf,
+)
+
+CONTEXT_STRING_SIM_MIN = 0.85   # wikifier.py:161 --similarity-string-threshold
+CONTEXT_QUANTITY_MIN = 0.9      # wikifier.py:161 --similarity-quantity-threshold
+KTH_PERCENTILE = 0.75           # wikifier.py:163 --k-percentile
+HC_SIM_MIN = 0.9                # pick-hc-candidates near-exact rule [ext]
+
+
+def string_similarity_features(cands: DataFrame) -> DataFrame:
+    """monge_elkan / monge_elkan_aliases / jaro_winkler / levenshtein
+    (wikifier.py:149-154). Expects columns label_clean, kg_label, aliases."""
+    return (
+        cands.withColumn(
+            "monge_elkan",
+            F.round(symmetric_monge_elkan_udf(F.col("label_clean"), F.col("kg_label")), 6),
+        )
+        .withColumn(
+            "monge_elkan_aliases",
+            F.round(
+                monge_elkan_max_over_aliases_udf(F.col("label_clean"), F.col("aliases")), 6
+            ),
+        )
+        .withColumn(
+            "jaro_winkler",
+            F.round(jaro_winkler_udf(F.col("label_clean"), F.col("kg_label")), 6),
+        )
+        .withColumn(
+            "levenshtein",
+            F.round(levenshtein_similarity(F.col("label_clean"), F.col("kg_label")), 6),
+        )
+    )
+
+
+def singleton_feature(cands: DataFrame, cell_cols: list[str] | None = None) -> DataFrame:
+    """create-singleton-feature (wikifier.py:155): 1 iff the cell has
+    exactly one candidate."""
+    cell_cols = cell_cols or ["row"]
+    w = Window.partitionBy(*cell_cols)
+    return cands.withColumn(
+        "singleton", F.when(F.count("*").over(w) == 1, 1).otherwise(0)
+    )
+
+
+def pick_hc_candidates(cands: DataFrame) -> DataFrame:
+    """pick-hc-candidates (wikifier.py:156-158): trust candidates whose
+    best string similarity is near-exact; ignore_candidate = the rest."""
+    best = F.greatest("monge_elkan", "monge_elkan_aliases", "jaro_winkler", "levenshtein")
+    return cands.withColumn("best_str_sim", F.round(best, 6)).withColumn(
+        "ignore_candidate", (best < HC_SIM_MIN).cast("int")
+    )
+
+
+def context_match(cands: DataFrame) -> DataFrame:
+    """context-match (wikifier.py:159-162): compare the mention's row
+    context against the candidate's property values. String properties
+    match at levenshtein-sim ≥ 0.85; quantities at relative closeness
+    ≥ 0.9. context_score = matched properties / compared properties.
+
+    Expects: context ('brandstr|classstr|sizestr') + candidate columns
+    brand, class, size. Pure native expressions.
+    """
+    ctx = F.split(F.col("context"), r"\|")
+    ctx_brand = F.lower(ctx.getItem(0))
+    ctx_class = ctx.getItem(1)
+    ctx_size = ctx.getItem(2).cast("double")
+
+    brand_sim = levenshtein_similarity(ctx_brand, F.lower(F.col("brand")))
+    class_sim = levenshtein_similarity(ctx_class, F.col("class"))
+    size_close = F.when(
+        F.greatest(ctx_size, F.col("size").cast("double")) == 0, F.lit(1.0)
+    ).otherwise(
+        F.least(ctx_size, F.col("size").cast("double"))
+        / F.greatest(ctx_size, F.col("size").cast("double"))
+    )
+
+    out = (
+        cands.withColumn(
+            "brand_match", (brand_sim >= CONTEXT_STRING_SIM_MIN).cast("int")
+        )
+        .withColumn("class_match", (class_sim >= CONTEXT_STRING_SIM_MIN).cast("int"))
+        .withColumn("size_match", (size_close >= CONTEXT_QUANTITY_MIN).cast("int"))
+        # similarity-valued scores (not just flags): above the threshold the
+        # actual similarity is kept, so near-misses ("Brand#10" vs
+        # "Brand#15", sim 0.875) rank below exact property matches instead
+        # of tying them
+        .withColumn("brand_score", F.col("brand_match") * brand_sim)
+        .withColumn("class_score", F.col("class_match") * class_sim)
+        .withColumn("size_score", F.col("size_match") * size_close)
+    )
+    score = (F.col("brand_score") + F.col("class_score") + F.col("size_score")) / 3.0
+    return out.withColumn("context_score", F.round(score, 6))
+
+
+RELEVANT_PROPERTY_MIN_RATE = 0.5  # --save-relevant-properties anchor share [ext]
+
+
+def context_match_relevant(cands: DataFrame) -> DataFrame:
+    """Second context-match pass (wikifier.py:187-189,
+    --use-relevant-properties): a property is "relevant" if it matched for
+    ≥ 50% of the kth-percentile anchor candidates; context_score_3 is the
+    match fraction over relevant properties only (0 when none relevant).
+
+    The relevance stats are one global aggregate row, broadcast back —
+    the reference's ctx_props.csv side file become a 1-row dimension.
+    """
+    rates = cands.where(F.col("kth_percenter") == 1).agg(
+        F.coalesce(
+            (F.avg("brand_match") >= RELEVANT_PROPERTY_MIN_RATE).cast("int"), F.lit(0)
+        ).alias("rel_brand"),
+        F.coalesce(
+            (F.avg("class_match") >= RELEVANT_PROPERTY_MIN_RATE).cast("int"), F.lit(0)
+        ).alias("rel_class"),
+        F.coalesce(
+            (F.avg("size_match") >= RELEVANT_PROPERTY_MIN_RATE).cast("int"), F.lit(0)
+        ).alias("rel_size"),
+    )
+    n_rel = F.col("rel_brand") + F.col("rel_class") + F.col("rel_size")
+    score = (
+        F.col("brand_score") * F.col("rel_brand")
+        + F.col("class_score") * F.col("rel_class")
+        + F.col("size_score") * F.col("rel_size")
+    )
+    return (
+        cands.crossJoin(F.broadcast(rates))
+        .withColumn(
+            "context_score_3",
+            F.when(n_rel == 0, F.lit(0.0)).otherwise(F.round(score / n_rel, 6)),
+        )
+        .drop("rel_brand", "rel_class", "rel_size")
+    )
+
+
+def kth_percentile(
+    cands: DataFrame,
+    score_col: str = "context_score",
+    out: str = "kth_percenter",
+    ignore_col: str = "ignore_candidate",
+) -> DataFrame:
+    """kth-percentile (wikifier.py:163-164): flag candidates in the top
+    (1 - 0.75) percent_rank band of score_col, excluding ignored ones."""
+    w = Window.partitionBy(F.col(ignore_col)).orderBy(F.col(score_col))
+    pr = F.percent_rank().over(w)
+    return cands.withColumn(
+        out,
+        F.when((F.col(ignore_col) == 0) & (pr >= KTH_PERCENTILE), 1).otherwise(0),
+    )
+
+
+def pgr_rts(cands: DataFrame) -> DataFrame:
+    """pagerank × retrieval_score product feature (wikifier.py:167-171)."""
+    return cands.withColumn(
+        "pgr_rts", F.round(F.col("pagerank") * F.col("retrieval_score"), 6)
+    )
+
+
+def semantic_tfidf(
+    cands: DataFrame,
+    feature_col: str,
+    anchor_col: str,
+    out: str,
+) -> DataFrame:
+    """pgt-semantic-tf-idf / compute-tf-idf (wikifier.py:165-178,196-205):
+    score every candidate by the TF-IDF weight of its class/property
+    against the anchor set's distribution.
+
+    tf(c)  = # anchor candidates with feature value c
+    df(c)  = # distinct qnodes in the full candidate set with value c
+    idf(c) = ln(N / df(c)),  N = # distinct qnodes overall
+    score  = tf(c)*idf(c) / max_c(tf*idf)  ∈ [0,1]
+             (0 when the candidate's value anchors nowhere)
+
+    The max-normalization keeps the feature scale-invariant: raw tf grows
+    with corpus size, which would drown the 0-1 string/context features in
+    the ranker at larger SFs. Two scalar aggregates broadcast back — no
+    candidate-table reshuffle.
+    """
+    n_qnodes = cands.select(F.countDistinct("qnode").alias("n_qnodes"))
+    tf = (
+        cands.where(F.col(anchor_col) == 1)
+        .groupBy(feature_col)
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = cands.groupBy(feature_col).agg(F.countDistinct("qnode").alias("df"))
+    raw_w = F.col("tf") * F.log(F.col("n_qnodes") / F.col("df"))
+    max_w = F.max(raw_w).over(Window.partitionBy())
+    weights = (
+        tf.join(df_, feature_col)
+        .crossJoin(F.broadcast(n_qnodes))
+        .select(
+            feature_col,
+            F.when(max_w == 0, F.lit(0.0))
+            .otherwise(F.round(raw_w / max_w, 6))
+            .alias("w"),
+        )
+    )
+    return (
+        cands.join(F.broadcast(weights), feature_col, "left")
+        .withColumn(out, F.coalesce(F.col("w"), F.lit(0.0)))
+        .drop("w")
+    )
+
+
+def mosaic_features(cands: DataFrame, col: str = "kg_label") -> DataFrame:
+    """mosaic-features --num-char --num-tokens (wikifier.py:190)."""
+    return cands.withColumn("num_char", F.length(col)).withColumn(
+        "num_tokens", F.size(F.split(F.col(col), r"\s+"))
+    )
+
+
+def embedding_centroid_score(
+    cands: DataFrame,
+    anchor_col: str = "pseudo_gt",
+    emb_col: str = "embedding",
+    out: str = "pgt_centroid_score",
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """score-using-embedding --column-vector-strategy centroid
+    (wikifier.py:191-195), LOF-free variant: centroid of anchor-candidate
+    embeddings, then cosine(candidate, centroid).
+
+    Fully native: posexplode → per-dimension avg (a ~dim-row aggregate,
+    broadcast back) → sum-product cosine. Centroid components are rounded
+    to 6 decimals before the cosine so the score is reproducible across
+    engines and partition orders. See embedding_centroid_lof_score for
+    the LOF-outlier-dropping variant (applyInPandas)."""
+    key_cols = key_cols or ["row", "qnode"]
+    centroid = (
+        cands.where(F.col(anchor_col) == 1)
+        .select(F.posexplode(emb_col).alias("i", "v"))
+        .groupBy("i")
+        .agg(F.round(F.avg("v"), 6).alias("c"))
+    )
+    expl = cands.select(*key_cols, F.posexplode(emb_col).alias("i", "v"))
+    sums = (
+        expl.join(F.broadcast(centroid), "i")
+        .groupBy(*key_cols)
+        .agg(
+            F.sum(F.col("v") * F.col("c")).alias("dot"),
+            F.sum(F.col("v") * F.col("v")).alias("nv"),
+            F.sum(F.col("c") * F.col("c")).alias("nc"),
+        )
+        .withColumn(
+            out,
+            F.when(F.col("nv") * F.col("nc") == 0, F.lit(0.0)).otherwise(
+                F.round(F.col("dot") / (F.sqrt("nv") * F.sqrt("nc")), 6)
+            ),
+        )
+        .select(*key_cols, out)
+    )
+    return cands.join(sums, key_cols, "left")
+
+
+def create_pseudo_gt(
+    cands: DataFrame,
+    prediction_col: str,
+    filter_col: str = "smc_class_score",
+    out: str = "pseudo_gt",
+) -> DataFrame:
+    """create-pseudo-gt (wikifier.py:184-186): 1 for candidates whose
+    prediction ≥ global mean of the prediction, and filter_col > 0."""
+    w = Window.partitionBy()
+    mean = F.avg(prediction_col).over(w)
+    return cands.withColumn(
+        out,
+        F.when((F.col(prediction_col) >= mean) & (F.col(filter_col) > 0), 1).otherwise(0),
+    )

@@ -13,7 +13,11 @@ driver-checked queries derive both sides deterministically from `part`:
   context-match.
 
 Every derivation here is mirrored verbatim in the DuckDB oracle CTEs
-(oracles.py) so the driver's value-hash comparison is exact.
+(oracles.py — the single SQL source of truth) so the driver's value-hash
+comparison is exact. The index also carries a deterministic 8-dim
+"graph embedding" built from exact integer arithmetic
+(((pkey*(d+13)) % 97) / 97.0) so embedding-centroid scoring is
+reproducible bit-for-bit in ANSI SQL.
 """
 
 from __future__ import annotations
@@ -24,42 +28,15 @@ from pyspark.sql import functions as F
 from ..functions.strings import clean_label
 from ..sources.tpch import load_table
 
-# SQL fragments kept in lock-step with the DataFrame builders below.
-ENTITY_INDEX_SQL = """
-entity_index AS (
-    SELECT 'Q' || CAST(p_partkey AS VARCHAR)                AS qnode,
-           lower(p_name)                                    AS label,
-           [lower(p_name),
-            lower(p_brand) || ' ' || lower(p_name),
-            lower(p_name) || ' ' || lower(p_type)]          AS aliases,
-           round(p_retailprice / 1000.0, 6)                 AS pagerank,
-           lower(p_type)                                    AS class,
-           p_brand                                          AS brand,
-           p_size                                           AS size
-    FROM part
-)
-"""
-
-MENTIONS_SQL = """
-mentions AS (
-    SELECT p_partkey                                        AS row,
-           CASE CAST(p_partkey % 3 AS INTEGER)
-             WHEN 0 THEN lower(p_name)
-             WHEN 1 THEN substr(lower(p_name), 1, length(p_name) - 1)
-             ELSE upper(p_name)
-           END                                              AS label,
-           p_brand || '|' || lower(p_type) || '|' || CAST(p_size AS VARCHAR)
-                                                            AS context
-    FROM part
-    WHERE p_partkey % 5 = 0
-)
-"""
-
-
 def entity_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     label = F.lower(F.col("p_name"))
+    embedding = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda d: ((F.col("p_partkey") * (d + 13)) % 97).cast("double") / 97.0,
+    )
     return part.select(
+        F.col("p_partkey").alias("pkey"),
         F.concat(F.lit("Q"), F.col("p_partkey").cast("string")).alias("qnode"),
         label.alias("label"),
         F.array(
@@ -71,6 +48,7 @@ def entity_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower("p_type").alias("class"),
         F.col("p_brand").alias("brand"),
         F.col("p_size").alias("size"),
+        embedding.alias("embedding"),
     )
 
 

@@ -13,12 +13,18 @@ CLEAN = "trim(regexp_replace(lower({col}), '[^a-z0-9]+', ' ', 'g'))"
 
 LINKING_CTES = """
 WITH entity_index AS (
-    SELECT 'Q' || CAST(p_partkey AS VARCHAR)                AS qnode,
+    SELECT p_partkey                                        AS pkey,
+           'Q' || CAST(p_partkey AS VARCHAR)                AS qnode,
            lower(p_name)                                    AS label,
            [lower(p_name),
             lower(p_brand) || ' ' || lower(p_name),
             lower(p_name) || ' ' || lower(p_type)]          AS aliases,
-           round(p_retailprice / 1000.0, 6)                 AS pagerank
+           round(p_retailprice / 1000.0, 6)                 AS pagerank,
+           lower(p_type)                                    AS class,
+           p_brand                                          AS brand,
+           p_size                                           AS size,
+           [CAST((p_partkey * (d + 13)) % 97 AS DOUBLE) / 97.0
+            for d in generate_series(0, 7)]                 AS embedding
     FROM part
 ),
 mentions AS (
@@ -33,48 +39,48 @@ mentions AS (
     FROM part
     WHERE p_partkey % 5 = 0
 ),
-cm AS (
+cm AS MATERIALIZED (
     SELECT row, label,
            trim(regexp_replace(lower(label), '[^a-z0-9]+', ' ', 'g')) AS label_clean,
            context
     FROM mentions
 ),
-alias_idx AS (
+alias_idx AS MATERIALIZED (
     SELECT qnode, label, pagerank,
            trim(regexp_replace(lower(a), '[^a-z0-9]+', ' ', 'g')) AS alias_norm
     FROM (SELECT qnode, label, pagerank, unnest(aliases) AS a FROM entity_index)
 ),
-mk AS (
+mk AS MATERIALIZED (
     SELECT row, label_clean,
            substr(label_clean, 1, least(length(label_clean), 10)) AS mkey
     FROM cm WHERE length(label_clean) >= 3
 ),
-alias_prefix AS (
+alias_prefix AS MATERIALIZED (
     SELECT qnode, label, pagerank, alias_norm,
            substr(alias_norm, 1, n) AS prefix
     FROM (SELECT *, unnest(generate_series(3, least(length(alias_norm), 10))) AS n
           FROM alias_idx WHERE length(alias_norm) >= 3)
 ),
-mg AS (
+mg AS MATERIALIZED (
     SELECT row, label_clean,
            list_distinct([substr(label_clean, i, 3)
                           for i in generate_series(1, length(label_clean) - 2)]) AS grams
     FROM cm WHERE length(label_clean) >= 3
 ),
-mgrams AS (
+mgrams AS MATERIALIZED (
     SELECT row, label_clean, len(grams) AS n_m, unnest(grams) AS gram FROM mg
 ),
-ag AS (
+ag AS MATERIALIZED (
     SELECT qnode, label, pagerank, alias_norm,
            list_distinct([substr(alias_norm, i, 3)
                           for i in generate_series(1, length(alias_norm) - 2)]) AS grams
     FROM alias_idx WHERE length(alias_norm) >= 3
 ),
-agrams AS (
+agrams AS MATERIALIZED (
     SELECT qnode, label, pagerank, alias_norm, len(grams) AS n_a,
            unnest(grams) AS gram FROM ag
 ),
-exact_m AS (
+exact_m AS MATERIALIZED (
     SELECT row, label_clean, qnode,
            min(alias_idx.label) AS kg_label,
            min(pagerank) AS pagerank,
@@ -83,7 +89,7 @@ exact_m AS (
     FROM cm JOIN alias_idx ON cm.label_clean = alias_idx.alias_norm
     GROUP BY 1, 2, 3
 ),
-ngram_m AS (
+ngram_m AS MATERIALIZED (
     SELECT row, label_clean, qnode,
            min(label)    AS kg_label,
            min(pagerank) AS pagerank,
@@ -92,7 +98,7 @@ ngram_m AS (
     FROM mk JOIN alias_prefix ON mk.mkey = alias_prefix.prefix
     GROUP BY 1, 2, 3
 ),
-tri_alias AS (
+tri_alias AS MATERIALIZED (
     SELECT row, label_clean, qnode, alias_norm,
            min(label)    AS kg_label,
            min(pagerank) AS pagerank,
@@ -102,7 +108,7 @@ tri_alias AS (
     FROM mgrams JOIN agrams USING (gram)
     GROUP BY 1, 2, 3, 4
 ),
-trigram_m AS (
+trigram_m AS MATERIALIZED (
     SELECT row, label_clean, qnode,
            min(kg_label) AS kg_label,
            min(pagerank) AS pagerank,
@@ -112,11 +118,11 @@ trigram_m AS (
     WHERE overlap * 1.0 / (n_m + n_a - overlap) >= 0.5
     GROUP BY 1, 2, 3
 ),
-fuzzy_pairs AS (
+fuzzy_pairs AS MATERIALIZED (
     SELECT DISTINCT row, label_clean, qnode, label, pagerank, alias_norm
     FROM mgrams JOIN agrams USING (gram)
 ),
-fuzzy_sims AS (
+fuzzy_sims AS MATERIALIZED (
     SELECT *,
            CASE WHEN greatest(length(label_clean), length(alias_norm)) = 0 THEN 1.0
                 ELSE 1.0 - levenshtein(label_clean, alias_norm) * 1.0
@@ -124,7 +130,7 @@ fuzzy_sims AS (
            END AS sim
     FROM fuzzy_pairs
 ),
-fuzzy_m AS (
+fuzzy_m AS MATERIALIZED (
     SELECT row, label_clean, qnode,
            min(label)    AS kg_label,
            min(pagerank) AS pagerank,
@@ -134,13 +140,167 @@ fuzzy_m AS (
     WHERE sim >= 0.7
     GROUP BY 1, 2, 3
 ),
-all_candidates AS (
+all_candidates AS MATERIALIZED (
     SELECT * FROM exact_m
     UNION ALL SELECT * FROM ngram_m
     UNION ALL SELECT * FROM trigram_m
     UNION ALL SELECT * FROM fuzzy_m
 )
 """
+
+
+def _sym_me(a: str, b: str) -> str:
+    """Symmetric Monge-Elkan in DuckDB list-comprehension SQL, mirroring
+    functions/strings.py::symmetric_monge_elkan (inner sim jaro-winkler)."""
+    return (
+        f"0.5 * (list_avg([list_max([jaro_winkler_similarity(t1, t2)"
+        f" for t2 in string_split({b}, ' ')]) for t1 in string_split({a}, ' ')])"
+        f" + list_avg([list_max([jaro_winkler_similarity(t2, t1)"
+        f" for t1 in string_split({a}, ' ')]) for t2 in string_split({b}, ' ')]))"
+    )
+
+
+def _lev_sim(a: str, b: str) -> str:
+    return (
+        f"CASE WHEN greatest(length({a}), length({b})) = 0 THEN 1.0"
+        f" ELSE 1.0 - levenshtein({a}, {b}) * 1.0 / greatest(length({a}), length({b})) END"
+    )
+
+
+def _tfidf_ctes(prefix: str, src: str, feature: str, anchor: str) -> str:
+    """Mirror of operators/features.py::semantic_tfidf."""
+    return f"""
+{prefix}nq AS MATERIALIZED (SELECT count(DISTINCT qnode) AS n_qnodes FROM {src}),
+{prefix}tf AS MATERIALIZED (SELECT {feature}, count(*) AS tf FROM {src} WHERE {anchor} = 1 GROUP BY {feature}),
+{prefix}df AS MATERIALIZED (SELECT {feature}, count(DISTINCT qnode) AS df FROM {src} GROUP BY {feature}),
+{prefix}w AS MATERIALIZED (
+    SELECT {feature},
+           CASE WHEN max(tf * ln(n_qnodes * 1.0 / df)) OVER () = 0 THEN 0.0
+                ELSE round(tf * ln(n_qnodes * 1.0 / df)
+                           / max(tf * ln(n_qnodes * 1.0 / df)) OVER (), 6) END AS w
+    FROM {prefix}tf JOIN {prefix}df USING ({feature}) CROSS JOIN {prefix}nq)
+"""
+
+
+FEATURE_CTES = (
+    LINKING_CTES
+    + f""",
+cand AS MATERIALIZED (
+    SELECT row, label_clean, qnode,
+           min(kg_label)                  AS kg_label,
+           round(max(pagerank), 6)        AS pagerank,
+           round(max(retrieval_score), 6) AS retrieval_score,
+           count(DISTINCT method)         AS num_occurences
+    FROM all_candidates GROUP BY 1, 2, 3
+),
+fullc AS MATERIALIZED (
+    SELECT c.row, c.label_clean, c.qnode, c.kg_label, c.pagerank,
+           c.retrieval_score, c.num_occurences,
+           e.aliases, e.class, e.brand, e.size, e.embedding, m.context
+    FROM cand c
+    JOIN entity_index e ON c.qnode = e.qnode
+    JOIN mentions m ON c.row = m.row
+),
+sf AS MATERIALIZED (
+    SELECT *,
+           round({_sym_me("label_clean", "kg_label")}, 6) AS monge_elkan,
+           round(list_max([{_sym_me("label_clean", "al")} for al in aliases]), 6)
+                                                          AS monge_elkan_aliases,
+           round(jaro_winkler_similarity(label_clean, kg_label), 6) AS jaro_winkler,
+           round({_lev_sim("label_clean", "kg_label")}, 6) AS levenshtein
+    FROM fullc
+),
+f1 AS MATERIALIZED (
+    SELECT *, CASE WHEN count(*) OVER (PARTITION BY row) = 1 THEN 1 ELSE 0 END AS singleton
+    FROM sf
+),
+f2 AS MATERIALIZED (
+    SELECT *,
+           round(greatest(monge_elkan, monge_elkan_aliases, jaro_winkler, levenshtein), 6)
+               AS best_str_sim,
+           CASE WHEN greatest(monge_elkan, monge_elkan_aliases, jaro_winkler, levenshtein) < 0.9
+                THEN 1 ELSE 0 END AS ignore_candidate
+    FROM f1
+),
+f3a AS MATERIALIZED (
+    SELECT *,
+           CASE WHEN (CASE WHEN greatest(length(lower(string_split(context, '|')[1])), length(lower(brand))) = 0 THEN 1.0 ELSE 1.0 - levenshtein(lower(string_split(context, '|')[1]), lower(brand)) * 1.0 / greatest(length(lower(string_split(context, '|')[1])), length(lower(brand))) END) >= 0.85 THEN 1 ELSE 0 END AS brand_match,
+           CASE WHEN (CASE WHEN greatest(length(string_split(context, '|')[2]), length(class)) = 0 THEN 1.0 ELSE 1.0 - levenshtein(string_split(context, '|')[2], class) * 1.0 / greatest(length(string_split(context, '|')[2]), length(class)) END) >= 0.85 THEN 1 ELSE 0 END AS class_match,
+           CASE WHEN (CASE WHEN greatest(CAST(string_split(context, '|')[3] AS DOUBLE), CAST(size AS DOUBLE)) = 0 THEN 1.0 ELSE least(CAST(string_split(context, '|')[3] AS DOUBLE), CAST(size AS DOUBLE)) / greatest(CAST(string_split(context, '|')[3] AS DOUBLE), CAST(size AS DOUBLE)) END) >= 0.9 THEN 1 ELSE 0 END AS size_match,
+           (CASE WHEN (CASE WHEN greatest(length(lower(string_split(context, '|')[1])), length(lower(brand))) = 0 THEN 1.0 ELSE 1.0 - levenshtein(lower(string_split(context, '|')[1]), lower(brand)) * 1.0 / greatest(length(lower(string_split(context, '|')[1])), length(lower(brand))) END) >= 0.85 THEN 1 ELSE 0 END) * (CASE WHEN greatest(length(lower(string_split(context, '|')[1])), length(lower(brand))) = 0 THEN 1.0 ELSE 1.0 - levenshtein(lower(string_split(context, '|')[1]), lower(brand)) * 1.0 / greatest(length(lower(string_split(context, '|')[1])), length(lower(brand))) END) AS brand_score,
+           (CASE WHEN (CASE WHEN greatest(length(string_split(context, '|')[2]), length(class)) = 0 THEN 1.0 ELSE 1.0 - levenshtein(string_split(context, '|')[2], class) * 1.0 / greatest(length(string_split(context, '|')[2]), length(class)) END) >= 0.85 THEN 1 ELSE 0 END) * (CASE WHEN greatest(length(string_split(context, '|')[2]), length(class)) = 0 THEN 1.0 ELSE 1.0 - levenshtein(string_split(context, '|')[2], class) * 1.0 / greatest(length(string_split(context, '|')[2]), length(class)) END) AS class_score,
+           (CASE WHEN (CASE WHEN greatest(CAST(string_split(context, '|')[3] AS DOUBLE), CAST(size AS DOUBLE)) = 0 THEN 1.0 ELSE least(CAST(string_split(context, '|')[3] AS DOUBLE), CAST(size AS DOUBLE)) / greatest(CAST(string_split(context, '|')[3] AS DOUBLE), CAST(size AS DOUBLE)) END) >= 0.9 THEN 1 ELSE 0 END) * (CASE WHEN greatest(CAST(string_split(context, '|')[3] AS DOUBLE), CAST(size AS DOUBLE)) = 0 THEN 1.0 ELSE least(CAST(string_split(context, '|')[3] AS DOUBLE), CAST(size AS DOUBLE)) / greatest(CAST(string_split(context, '|')[3] AS DOUBLE), CAST(size AS DOUBLE)) END) AS size_score
+    FROM f2
+),
+f3 AS MATERIALIZED (
+    SELECT *, round((brand_score + class_score + size_score) / 3.0, 6) AS context_score
+    FROM f3a
+),
+f4 AS MATERIALIZED (
+    SELECT *,
+           CASE WHEN ignore_candidate = 0
+                 AND percent_rank() OVER (PARTITION BY ignore_candidate ORDER BY context_score) >= 0.75
+                THEN 1 ELSE 0 END AS kth_percenter
+    FROM f3
+),
+f5 AS MATERIALIZED (
+    SELECT *, round(pagerank * retrieval_score, 6) AS pgr_rts FROM f4
+),
+{_tfidf_ctes("c", "f5", "class", "kth_percenter")},
+f6 AS MATERIALIZED (SELECT f5.*, coalesce(cw.w, 0.0) AS smc_class_score FROM f5 LEFT JOIN cw USING (class)),
+{_tfidf_ctes("b", "f6", "brand", "kth_percenter")},
+f7 AS MATERIALIZED (SELECT f6.*, coalesce(bw.w, 0.0) AS smc_property_score FROM f6 LEFT JOIN bw USING (brand)),
+f8 AS MATERIALIZED (
+    SELECT *, length(kg_label) AS num_char, len(string_split(kg_label, ' ')) AS num_tokens
+    FROM f7
+),
+f9 AS MATERIALIZED (
+    SELECT *,
+           CASE WHEN pgr_rts >= avg(pgr_rts) OVER () AND smc_class_score > 0
+                THEN 1 ELSE 0 END AS pseudo_gt
+    FROM f8
+),
+rates AS MATERIALIZED (
+    SELECT CASE WHEN avg(brand_match) >= 0.5 THEN 1 ELSE 0 END AS rel_brand,
+           CASE WHEN avg(class_match) >= 0.5 THEN 1 ELSE 0 END AS rel_class,
+           CASE WHEN avg(size_match) >= 0.5 THEN 1 ELSE 0 END AS rel_size
+    FROM f9 WHERE kth_percenter = 1
+),
+f10 AS MATERIALIZED (
+    SELECT f9.*,
+           CASE WHEN (rel_brand + rel_class + rel_size) = 0 THEN 0.0
+                ELSE round((brand_score * rel_brand + class_score * rel_class
+                            + size_score * rel_size) * 1.0
+                           / (rel_brand + rel_class + rel_size), 6) END AS context_score_3
+    FROM f9 CROSS JOIN rates
+),
+cent AS MATERIALIZED (
+    SELECT i, round(avg(v), 6) AS c
+    FROM (SELECT unnest(embedding) AS v, unnest(generate_series(1, 8)) AS i
+          FROM f10 WHERE pseudo_gt = 1)
+    GROUP BY i
+),
+csums AS MATERIALIZED (
+    SELECT row, qnode, sum(v * c) AS dot, sum(v * v) AS nv, sum(c * c) AS nc
+    FROM (SELECT row, qnode, unnest(embedding) AS v,
+                 unnest(generate_series(1, 8)) AS i FROM f10) x
+    JOIN cent USING (i)
+    GROUP BY row, qnode
+),
+f11 AS MATERIALIZED (
+    SELECT f10.*,
+           CASE WHEN nv * nc = 0 THEN 0.0
+                ELSE round(dot / (sqrt(nv) * sqrt(nc)), 6) END AS pgt_centroid_score
+    FROM f10 LEFT JOIN csums USING (row, qnode)
+),
+{_tfidf_ctes("pc", "f11", "class", "pseudo_gt")},
+f12 AS MATERIALIZED (SELECT f11.*, coalesce(pcw.w, 0.0) AS pgt_class_count_tf_idf_score
+        FROM f11 LEFT JOIN pcw USING (class)),
+{_tfidf_ctes("pb", "f12", "brand", "pseudo_gt")},
+f13 AS MATERIALIZED (SELECT f12.*, coalesce(pbw.w, 0.0) AS pgt_property_count_tf_idf_score
+        FROM f12 LEFT JOIN pbw USING (brand))
+"""
+)
 
 
 ORACLES: dict[str, str] = {
@@ -216,5 +376,59 @@ ORACLES: dict[str, str] = {
                array_to_string(list_sort(list_distinct(list(method))), ',') AS methods
         FROM all_candidates
         GROUP BY 1, 2, 3
+    """,
+    "features_string_sims": FEATURE_CTES
+    + """SELECT row, qnode, label_clean, kg_label, monge_elkan,
+                monge_elkan_aliases, jaro_winkler, levenshtein FROM sf""",
+    "features_singleton_hc": FEATURE_CTES
+    + "SELECT row, qnode, singleton, best_str_sim, ignore_candidate FROM f2",
+    "features_context_match": FEATURE_CTES
+    + "SELECT row, qnode, brand_match, class_match, size_match, context_score FROM f3",
+    "features_kth_percentile": FEATURE_CTES
+    + "SELECT row, qnode, kth_percenter FROM f4",
+    "features_pgr_rts": FEATURE_CTES + "SELECT row, qnode, pgr_rts FROM f5",
+    "features_smc_tfidf": FEATURE_CTES
+    + "SELECT row, qnode, smc_class_score, smc_property_score FROM f7",
+    "features_mosaic": FEATURE_CTES + "SELECT row, qnode, num_char, num_tokens FROM f8",
+    "features_pseudo_gt": FEATURE_CTES + "SELECT row, qnode, pseudo_gt FROM f9",
+    "features_context_relevant": FEATURE_CTES
+    + "SELECT row, qnode, context_score_3 FROM f10",
+    "features_centroid": FEATURE_CTES
+    + "SELECT row, qnode, pgt_centroid_score FROM f11",
+    "features_pgt_tfidf": FEATURE_CTES
+    + """SELECT row, qnode, pgt_class_count_tf_idf_score,
+                pgt_property_count_tf_idf_score FROM f13""",
+    # ranker_pseudo_gt_mlp / ranker_siamese_mlp / wikify_end_to_end:
+    # MLP forward pass is not ANSI-SQL-expressible → rows-only checks.
+    "kg_links_top3": FEATURE_CTES
+    + """
+        SELECT row, qnode, retrieval_score, pagerank, rank FROM (
+            SELECT row, qnode, retrieval_score, pagerank,
+                   row_number() OVER (PARTITION BY row
+                       ORDER BY retrieval_score DESC, qnode ASC) AS rank
+            FROM cand)
+        WHERE rank <= 3
+    """,
+    "join_back_top1": FEATURE_CTES
+    + """
+        SELECT m.row, m.label, m.context, l.qnode, l.retrieval_score, l.rank
+        FROM cm m LEFT JOIN (
+            SELECT row, qnode, retrieval_score, rank FROM (
+                SELECT row, qnode, retrieval_score,
+                       row_number() OVER (PARTITION BY row
+                           ORDER BY retrieval_score DESC, qnode ASC) AS rank
+                FROM cand)
+            WHERE rank <= 1) l USING (row)
+    """,
+    "match_rule": FEATURE_CTES
+    + """
+        SELECT row, qnode, rank, retrieval_score,
+               CASE WHEN retrieval_score > 0.95 AND rank = 1 THEN 1 ELSE 0 END AS match
+        FROM (
+            SELECT row, qnode, retrieval_score,
+                   row_number() OVER (PARTITION BY row
+                       ORDER BY retrieval_score DESC, qnode ASC) AS rank
+            FROM cand)
+        WHERE rank <= 3
     """,
 }

@@ -14,7 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators import analytics, candidates
+from .operators import analytics, candidates, features, ranker, topk
 from .operators.canonicalize import canonicalize, clean
 from .operators.linking_fixture import cleaned_mentions, entity_index
 from .sources.tpch import load_table
@@ -87,6 +87,149 @@ def q_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- feature chain
+
+# Candidate tables cached per (session, sf_dir): the driver runs many
+# feature queries against the same base — persist the expensive 4-strategy
+# retrieval union once per session instead of recomputing it per query.
+_FEATURED_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def featured_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate table + the full §2.4 feature chain (shared by the
+    feature queries below; every step mirrored in oracles.FEATURE_CTES)."""
+    key = (id(spark), sf_dir)
+    if key in _FEATURED_CACHE:
+        return _FEATURED_CACHE[key]
+    m = cleaned_mentions(spark, sf_dir)
+    idx = entity_index(spark, sf_dir)
+    c = candidates.generate_candidates(m, idx).select(
+        "row",
+        "label_clean",
+        "qnode",
+        "kg_label",
+        F.round("pagerank", 6).alias("pagerank"),
+        F.round("retrieval_score", 6).alias("retrieval_score"),
+        "num_occurences",
+    )
+    full = c.join(
+        F.broadcast(
+            idx.select("qnode", "aliases", "class", "brand", "size", "embedding")
+        ),
+        "qnode",
+    ).join(m.select("row", "context"), "row")
+    f = features.string_similarity_features(full)
+    f = features.singleton_feature(f)
+    f = features.pick_hc_candidates(f)
+    f = features.context_match(f)
+    f = features.kth_percentile(f)
+    f = features.pgr_rts(f)
+    # Cut lineage before the aggregate fan-outs: every tfidf/rates/centroid
+    # stage references the table 2-4×, so both runtime (pandas-UDF re-eval)
+    # and Catalyst analysis (plan tree ~4× per stage) blow up exponentially
+    # without a barrier. localCheckpoint materializes once and gives
+    # downstream stages a leaf-scan plan. (On a cluster: checkpoint() to
+    # reliable storage — same role as the reference's per-stage CSV
+    # materialization, wikifier.py:93,210.)
+    f = f.localCheckpoint()
+    f = features.semantic_tfidf(f, "class", "kth_percenter", "smc_class_score")
+    f = features.semantic_tfidf(f, "brand", "kth_percenter", "smc_property_score")
+    f = features.mosaic_features(f)
+    f = features.create_pseudo_gt(f, "pgr_rts", "smc_class_score", "pseudo_gt")
+    f = features.context_match_relevant(f)
+    f = f.localCheckpoint()
+    f = features.embedding_centroid_score(f)
+    f = features.semantic_tfidf(f, "class", "pseudo_gt", "pgt_class_count_tf_idf_score")
+    f = features.semantic_tfidf(f, "brand", "pseudo_gt", "pgt_property_count_tf_idf_score")
+    f = f.localCheckpoint()
+    _FEATURED_CACHE[key] = f
+    return f
+
+
+def _feature_query(*cols: str) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return featured_candidates(spark, sf_dir).select("row", "qnode", *cols)
+
+    return fn
+
+
+def q_ranker_pseudo_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = featured_candidates(spark, sf_dir)
+    scored = ranker.predict_using_model(
+        f,
+        ranker.PSEUDO_GT_FEATURES,
+        ranker.pseudo_gt_weights(),
+        ranker.PSEUDO_GT_DATA_MIN,
+        ranker.PSEUDO_GT_DATA_MAX,
+        "pseudo_gt_prediction",
+    )
+    return scored.select("row", "qnode", "pseudo_gt_prediction")
+
+
+def q_ranker_siamese(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = featured_candidates(spark, sf_dir)
+    scored = ranker.predict_using_model(
+        f,
+        ranker.FINAL_FEATURES,
+        ranker.final_ranker_weights(),
+        ranker.FINAL_DATA_MIN,
+        ranker.FINAL_DATA_MAX,
+        "siamese_prediction",
+    )
+    return scored.select("row", "qnode", "siamese_prediction")
+
+
+def q_kg_links_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = featured_candidates(spark, sf_dir)
+    links = topk.get_kg_links(f, k=3, score_col="retrieval_score")
+    return links.select("row", "qnode", "retrieval_score", "pagerank", "rank")
+
+
+def q_join_back_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = featured_candidates(spark, sf_dir)
+    links = topk.get_kg_links(f, k=1, score_col="retrieval_score").select(
+        "row", "qnode", "retrieval_score", "rank"
+    )
+    m = cleaned_mentions(spark, sf_dir).select("row", "label", "context")
+    return topk.join_back(links, m)
+
+
+def q_match_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = featured_candidates(spark, sf_dir)
+    links = topk.get_kg_links(f, k=3, score_col="retrieval_score")
+    return topk.apply_match_rule(links, "retrieval_score").select(
+        "row", "qnode", "rank", "retrieval_score", "match"
+    )
+
+
+def q_wikify_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full reference pipeline: candidates → features → pseudo-GT MLP →
+    pseudo-gt anchors → final 10-feature MLP → top-1 links + match rule.
+    MLP scores are not ANSI-SQL-expressible → rows-only driver check."""
+    f = featured_candidates(spark, sf_dir)
+    f = ranker.predict_using_model(
+        f,
+        ranker.PSEUDO_GT_FEATURES,
+        ranker.pseudo_gt_weights(),
+        ranker.PSEUDO_GT_DATA_MIN,
+        ranker.PSEUDO_GT_DATA_MAX,
+        "pseudo_gt_prediction",
+    )
+    f = ranker.predict_using_model(
+        f,
+        ranker.FINAL_FEATURES,
+        ranker.final_ranker_weights(),
+        ranker.FINAL_DATA_MIN,
+        ranker.FINAL_DATA_MAX,
+        "siamese_prediction",
+    )
+    links = topk.get_kg_links(f, k=1, score_col="siamese_prediction")
+    links = topk.apply_match_rule(links)
+    return links.select(
+        "row", "label_clean", "qnode", "kg_label", "siamese_prediction", "rank", "match"
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "tpch_q1_pricing_summary": analytics.q1_pricing_summary,
     "tpch_q3_top_orders": analytics.q3_top_orders,
@@ -98,4 +241,28 @@ QUERIES: dict[str, QueryFn] = {
     "retrieval_trigram": q_trigram,
     "retrieval_fuzzy": q_fuzzy,
     "candidates_dedup": q_candidates,
+    "features_string_sims": _feature_query(
+        "label_clean", "kg_label", "monge_elkan", "monge_elkan_aliases",
+        "jaro_winkler", "levenshtein",
+    ),
+    "features_singleton_hc": _feature_query("singleton", "best_str_sim", "ignore_candidate"),
+    "features_context_match": _feature_query(
+        "brand_match", "class_match", "size_match", "context_score"
+    ),
+    "features_kth_percentile": _feature_query("kth_percenter"),
+    "features_pgr_rts": _feature_query("pgr_rts"),
+    "features_smc_tfidf": _feature_query("smc_class_score", "smc_property_score"),
+    "features_mosaic": _feature_query("num_char", "num_tokens"),
+    "features_pseudo_gt": _feature_query("pseudo_gt"),
+    "features_context_relevant": _feature_query("context_score_3"),
+    "features_centroid": _feature_query("pgt_centroid_score"),
+    "features_pgt_tfidf": _feature_query(
+        "pgt_class_count_tf_idf_score", "pgt_property_count_tf_idf_score"
+    ),
+    "ranker_pseudo_gt_mlp": q_ranker_pseudo_gt,
+    "ranker_siamese_mlp": q_ranker_siamese,
+    "kg_links_top3": q_kg_links_top3,
+    "join_back_top1": q_join_back_top1,
+    "match_rule": q_match_rule,
+    "wikify_end_to_end": q_wikify_end_to_end,
 }
