@@ -36,12 +36,20 @@ FUZZY_SIM_MIN = 0.7
 
 def _alias_index(index: DataFrame) -> DataFrame:
     """Explode (qnode, aliases[]) → (qnode, alias_norm, pagerank, label)."""
-    return index.select(
-        "qnode",
-        F.col("label").alias("kg_label_src"),
-        "pagerank",
-        F.explode("aliases").alias("alias"),
-    ).withColumn("alias_norm", clean_label(F.col("alias")))
+    return (
+        index.select(
+            "qnode",
+            F.col("label").alias("kg_label_src"),
+            "pagerank",
+            F.explode("aliases").alias("alias"),
+        )
+        .withColumn("alias_norm", clean_label(F.col("alias")))
+        # distinct normalized terms per qnode: aliases that normalize to
+        # the same string ("iron-ring" → "iron ring" = label) must index
+        # once, or gram-overlap counts double (ES analyzers dedupe terms
+        # per doc the same way)
+        .dropDuplicates(["qnode", "alias_norm"])
+    )
 
 
 def exact_matches(mentions: DataFrame, index: DataFrame) -> DataFrame:

@@ -1,0 +1,126 @@
+"""Mention detection over source code — the Spark analogue of
+`tl canonicalize --add-context` + `tl clean` applied to a repo table
+(reference wikifier/wikifier.py:79-80; north_star: "batched mention
+detection (identifier/docstring/string-literal tokenization per lang)").
+
+Fully NATIVE: per-lang extraction is regexp_extract_all (JVM regex inside
+whole-stage codegen) + explode — no Python in this stage at all. The
+content column is scanned once; sha256(content) is stamped per row before
+any reshaping so the per-row invariant (BASELINE.json input_hint) is
+carried through every downstream stage.
+
+Scale notes: explode fans out ~#mentions per file but the projection drops
+`content` immediately after extraction, so shuffle payloads carry short
+strings only. mention_id is a deterministic hash of
+(repo,path,commit,kind,label,pos) — stable across runs/parallelism, never
+monotonically_increasing_id (which is partition-layout dependent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long, sha256_col
+from ..functions.strings import clean_label
+
+# per-lang extraction patterns: (kind, regex with one capture group)
+LANG_PATTERNS: dict[str, list[tuple[str, str]]] = {
+    "python": [
+        ("docstring", r'"""([^"]{3,200})"""'),
+        ("identifier", r"def\s+([A-Za-z_][A-Za-z0-9_]{2,60})\s*\("),
+        ("identifier", r"([a-z_][a-z0-9_]{2,60})\s*="),
+        ("string_literal", r"'([^'\n]{3,80})'"),
+    ],
+    "java": [
+        ("docstring", r"/\*\*([^*]{3,200})\*/"),
+        ("identifier", r"\b(?:get|set)([A-Z][A-Za-z0-9]{2,60})\s*\("),
+        ("string_literal", r'"([^"\n]{3,80})"'),
+    ],
+    "js": [
+        ("docstring", r"/\*\*([^*]{3,200})\*/"),
+        ("identifier", r"const\s+([A-Za-z_$][A-Za-z0-9_$]{2,60})\s*="),
+        ("string_literal", r'"([^"\n]{3,80})"'),
+    ],
+    "md": [
+        ("docstring", r"\*\*([^*\n]{3,80})\*\*"),
+    ],
+}
+
+STOP_LABELS = frozenset(
+    "the a an of and or for in to return import count make build".split()
+)
+
+
+def _split_ident_words(col: Column) -> Column:
+    """snake_case / camelCase / kebab-case → space-separated words."""
+    c = F.regexp_replace(col, r"([a-z0-9])([A-Z])", r"$1 $2")
+    c = F.regexp_replace(c, r"[_\-]+", " ")
+    return c
+
+
+def detect_mentions(source: DataFrame) -> DataFrame:
+    """source(repo,path,commit,lang,content) → MENTIONS schema table."""
+    stamped = source.withColumn("content_sha256", sha256_col(F.col("content")))
+
+    per_lang = []
+    for lang, patterns in LANG_PATTERNS.items():
+        base = stamped.where(F.col("lang") == lang)
+        for kind, pattern in patterns:
+            hits = base.select(
+                "repo",
+                "path",
+                "commit",
+                "lang",
+                "content_sha256",
+                F.lit(kind).alias("kind"),
+                F.posexplode(
+                    F.regexp_extract_all(F.col("content"), F.lit(pattern), 1)
+                ).alias("pos", "raw"),
+            )
+            per_lang.append(hits)
+
+    all_hits = per_lang[0]
+    for h in per_lang[1:]:
+        all_hits = all_hits.unionByName(h)
+
+    cleaned = (
+        all_hits.withColumn("label", F.trim(_split_ident_words(F.col("raw"))))
+        .withColumn("label_clean", clean_label(F.col("label")))
+        .where(F.length("label_clean") >= 3)
+        .where(~F.col("label_clean").isin(list(STOP_LABELS)))
+    )
+
+    # context = the other mention labels found in the same file (pipe-join),
+    # the analogue of canonicalize --add-context's "other cells of the row"
+    w_ctx = (
+        cleaned.groupBy("repo", "path")
+        .agg(F.array_sort(F.collect_set("label_clean")).alias("file_labels"))
+    )
+    out = (
+        cleaned.join(w_ctx, ["repo", "path"])
+        .withColumn(
+            "context",
+            F.array_join(
+                F.filter(
+                    F.col("file_labels"), lambda x: x != F.col("label_clean")
+                ),
+                "|",
+            ),
+        )
+        .withColumn(
+            "mention_id",
+            md5_long(
+                F.concat_ws(
+                    "", "repo", "path", "commit", "kind", "label_clean",
+                    F.col("pos").cast("string"),
+                )
+            ),
+        )
+        .dropDuplicates(["repo", "path", "commit", "kind", "label_clean"])
+        .select(
+            "mention_id", "repo", "path", "commit", "lang", "kind",
+            "label", "label_clean", "context", "content_sha256",
+        )
+    )
+    return out

@@ -119,6 +119,14 @@ def final_ranker_weights() -> dict[str, np.ndarray]:
     return make_calibrated_weights(FINAL_FEATURE_WEIGHTS, gain=4.0, bias=-24.0)
 
 
+def pipeline_ranker_weights() -> dict[str, np.ndarray]:
+    """Final-ranker calibration for the source-repo pipeline, where row
+    context does not exist (context features are constant 0): the match
+    threshold shifts down so exact-label links (w·x ≈ 5.0) auto-match and
+    partial identifier matches (w·x ≲ 4.0) do not."""
+    return make_calibrated_weights(FINAL_FEATURE_WEIGHTS, gain=4.0, bias=-14.0)
+
+
 def pseudo_gt_weights() -> dict[str, np.ndarray]:
     return make_calibrated_weights(PSEUDO_GT_FEATURE_WEIGHTS, gain=4.0, bias=-16.0)
 

@@ -46,7 +46,7 @@ cm AS MATERIALIZED (
     FROM mentions
 ),
 alias_idx AS MATERIALIZED (
-    SELECT qnode, label, pagerank,
+    SELECT DISTINCT qnode, label, pagerank,
            trim(regexp_replace(lower(a), '[^a-z0-9]+', ' ', 'g')) AS alias_norm
     FROM (SELECT qnode, label, pagerank, unnest(aliases) AS a FROM entity_index)
 ),
@@ -430,5 +430,48 @@ ORACLES: dict[str, str] = {
                        ORDER BY retrieval_score DESC, qnode ASC) AS rank
             FROM cand)
         WHERE rank <= 3
+    """,
+    "connected_components": """
+        WITH RECURSIVE raw_edges AS (
+            SELECT 'S' || CAST(s_suppkey AS VARCHAR)  AS src,
+                   'N' || CAST(s_nationkey AS VARCHAR) AS dst
+            FROM supplier
+            UNION ALL
+            SELECT 'N' || CAST(n_nationkey AS VARCHAR),
+                   'R' || CAST(n_regionkey AS VARCHAR)
+            FROM nation
+        ),
+        undirected AS MATERIALIZED (
+            SELECT src, dst FROM raw_edges
+            UNION
+            SELECT dst, src FROM raw_edges
+        ),
+        walk(node, reach) AS (
+            SELECT src, src FROM undirected
+            UNION
+            SELECT w.node, u.dst FROM walk w JOIN undirected u ON u.src = w.reach
+        )
+        SELECT node, min(reach) AS component FROM walk GROUP BY node
+    """,
+    "triples_emit": FEATURE_CTES
+    + """,
+    top1 AS MATERIALIZED (
+        SELECT row, qnode, class FROM (
+            SELECT f13.row, f13.qnode, f13.class,
+                   row_number() OVER (PARTITION BY f13.row
+                       ORDER BY f13.retrieval_score DESC, f13.qnode ASC) AS rank
+            FROM f13)
+        WHERE rank = 1
+    ),
+    trip AS (
+        SELECT qnode AS subj, 'P:mentionedIn' AS pred,
+               'part:' || CAST(row AS VARCHAR) AS obj
+        FROM top1
+        UNION ALL
+        SELECT DISTINCT qnode, 'P31', class FROM top1
+    )
+    SELECT subj, pred, obj,
+           CAST(CAST(('0x' || substr(md5(subj), 1, 15)) AS BIGINT) % 16 AS INTEGER) AS part
+    FROM trip
     """,
 }

@@ -1,0 +1,87 @@
+"""Per-partition checkpointed triple writes with lineage + metrics and
+resume (north_rule: "resumable from checkpoint with per-partition lineage
++ metrics").
+
+Layout under `out_dir`:
+    triples/part=<p>/*.parquet      the graph table, partitioned
+    _manifest/*.parquet             one row per COMPLETED partition:
+                                    (part, n_triples, triples_digest,
+                                     input_digest, written_at_ordinal)
+
+Resume contract: a partition is the unit of recovery. On restart,
+completed partitions (present in the manifest) are skipped via an
+anti-join on the partition key; only missing partitions are recomputed
+and appended. The manifest row is written AFTER its partition's data —
+a crash between the two leaves the partition unlisted and it is safely
+rewritten on resume (writes are idempotent per partition directory,
+mode=overwrite by dynamic partition).
+
+triples_digest is an order-insensitive content digest (sum of per-row
+md5-longs) so byte-level equality of a resumed run vs a clean run can be
+asserted cheaply per partition.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long
+
+
+def _digest(triples: DataFrame) -> DataFrame:
+    row_h = md5_long(F.concat_ws("\x1f", "subj", "pred", "obj"))
+    return triples.groupBy("part").agg(
+        F.count("*").alias("n_triples"),
+        F.sum(row_h.cast("decimal(38,0)")).alias("triples_digest"),
+    )
+
+
+def completed_parts(spark: SparkSession, out_dir: str) -> DataFrame:
+    manifest_dir = os.path.join(out_dir, "_manifest")
+    try:
+        return spark.read.parquet(manifest_dir).select("part").distinct()
+    except Exception:
+        return spark.createDataFrame([], "part int")
+
+
+def write_triples(
+    triples: DataFrame,
+    out_dir: str,
+    resume: bool = True,
+) -> dict:
+    """Write triples partitioned by `part`, skipping completed partitions.
+
+    Returns {"written_parts": n, "skipped_parts": n, "n_triples": n}.
+    """
+    spark = triples.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    done = completed_parts(spark, out_dir) if resume else None
+    todo = triples
+    n_done = 0
+    if done is not None:
+        n_done = done.count()
+        if n_done:
+            todo = triples.join(F.broadcast(done), "part", "left_anti")
+
+    todo = todo.localCheckpoint()  # compute once: data write + manifest
+    n = todo.count()
+    written = 0
+    if n > 0:
+        (
+            todo.repartition("part")
+            .write.mode("overwrite")
+            .partitionBy("part")
+            .parquet(os.path.join(out_dir, "triples"))
+        )
+        manifest = _digest(todo)
+        written = manifest.count()
+        manifest.write.mode("append").parquet(os.path.join(out_dir, "_manifest"))
+    return {"written_parts": written, "skipped_parts": n_done, "n_triples": n}
+
+
+def read_triples(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, "triples"))

@@ -230,6 +230,52 @@ def q_wikify_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------- canonicalization / triples
+
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CC over the supplier→nation→region hierarchy (each region becomes
+    one component; oracle = DuckDB recursive CTE min-reachable)."""
+    from .operators.connected_components import connected_components
+
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("N"), F.col("s_nationkey").cast("string")).alias("dst"),
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias("dst"),
+    )
+    return connected_components(supp.unionByName(nat))
+
+
+def q_triples_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Links → (subj,pred,obj,part) triples: provenance + P31 typing."""
+    from .triples import NUM_PARTS
+
+    f = featured_candidates(spark, sf_dir)
+    links = topk.get_kg_links(f, k=1, score_col="retrieval_score").select(
+        "row", "qnode", "class"
+    )
+    mentioned = links.select(
+        F.col("qnode").alias("subj"),
+        F.lit("P:mentionedIn").alias("pred"),
+        F.concat(F.lit("part:"), F.col("row").cast("string")).alias("obj"),
+    )
+    typed = links.select(
+        F.col("qnode").alias("subj"),
+        F.lit("P31").alias("pred"),
+        F.col("class").alias("obj"),
+    ).distinct()
+    triples = mentioned.unionByName(typed)
+    return triples.withColumn(
+        "part",
+        F.pmod(
+            F.conv(F.substring(F.md5("subj"), 1, 15), 16, 10).cast("long"),
+            F.lit(NUM_PARTS),
+        ).cast("int"),
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "tpch_q1_pricing_summary": analytics.q1_pricing_summary,
     "tpch_q3_top_orders": analytics.q3_top_orders,
@@ -265,4 +311,6 @@ QUERIES: dict[str, QueryFn] = {
     "join_back_top1": q_join_back_top1,
     "match_rule": q_match_rule,
     "wikify_end_to_end": q_wikify_end_to_end,
+    "connected_components": q_connected_components,
+    "triples_emit": q_triples_emit,
 }
