@@ -53,11 +53,11 @@ def levenshtein_similarity(a: Column, b: Column) -> Column:
 # ---------------------------------------------------------- jaro-winkler
 
 def _jaro(s1: str, s2: str) -> float:
-    if s1 == s2:
-        return 1.0
     len1, len2 = len(s1), len(s2)
     if len1 == 0 or len2 == 0:
-        return 0.0
+        return 0.0  # DuckDB convention: any empty side scores 0
+    if s1 == s2:
+        return 1.0
     match_dist = max(len1, len2) // 2 - 1
     s1_matches = [False] * len1
     s2_matches = [False] * len2

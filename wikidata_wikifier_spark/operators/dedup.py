@@ -1,0 +1,247 @@
+"""Deduplication operators over a document corpus — first-class
+training-data-pipeline ops (build brief: exact, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding-cosine).
+
+All hashing is the md5-derived 60-bit family (functions/hashing.py) so
+every operator is reproducible in ANSI SQL for the driver's DuckDB oracle.
+Everything below is NATIVE column expressions — zero Python UDFs.
+
+Scale design:
+- exact: one groupBy on the 60-bit content hash (map-side combine).
+- MinHash/LSH: per-doc signatures are a single groupBy over exploded
+  shingles (K min-aggregates); the LSH band join touches only docs
+  sharing a band bucket — the classic O(candidates) instead of O(n²).
+- SimHash: 4 bands of 8 bits; pigeonhole guarantees hamming≤3 pairs
+  share ≥1 band, so the self-join is band-bucketed, never all-pairs.
+- n-gram Jaccard: gram-inverted-index join blocked by lang.
+- embedding cosine: blocked by cluster label (coarse quantization) —
+  the IVF pattern: compare only within the same coarse cell.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import char_ngrams, md5_long, seeded_md5_long
+from ..functions.vectors import cosine
+
+MINHASH_K = 16
+MINHASH_BANDS = 4  # 4 rows per band
+MINHASH_VERIFY_JACCARD = 0.7
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4
+SIMHASH_MAX_HAMMING = 3
+NGRAM_N = 4
+NGRAM_JACCARD_MIN = 0.8
+COSINE_DUP_MIN = 0.4  # synthetic clusters are loose; tune per-corpus
+
+
+def norm_text(col: Column) -> Column:
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def word_tokens(col: Column) -> Column:
+    return F.filter(F.split(norm_text(col), " "), lambda t: t != "")
+
+
+def word_shingles(col: Column, w: int = 3) -> Column:
+    """Array of w-word shingles (space-joined)."""
+    toks = word_tokens(col)
+    n = F.size(toks) - F.lit(w - 1)
+    return F.when(n <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(w)]),
+        )
+    )
+
+
+# ----------------------------------------------------------------- exact
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: (doc_id, group_id=min id of identical
+    text, group_size, is_canonical)."""
+    h = docs.select(id_col, md5_long(norm_text(F.col(text_col))).alias("h"))
+    groups = h.groupBy("h").agg(
+        F.min(id_col).alias("group_id"), F.count("*").alias("group_size")
+    )
+    return (
+        h.join(groups, "h")
+        .select(
+            id_col,
+            "group_id",
+            "group_size",
+            (F.col(id_col) == F.col("group_id")).cast("int").alias("is_canonical"),
+        )
+    )
+
+
+# --------------------------------------------------------------- minhash
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = MINHASH_K
+) -> DataFrame:
+    """K-wide MinHash signature per doc: explode shingles once, take K
+    seeded min-hashes in one aggregate (K columns, map-side combined)."""
+    sh = docs.select(
+        id_col, F.explode(F.array_distinct(word_shingles(F.col(text_col)))).alias("s")
+    )
+    aggs = [F.min(seeded_md5_long(F.col("s"), i)).alias(f"h{i}") for i in range(k)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs with exact-Jaccard verification.
+
+    band hash = md5-long of the band's 4 signature values → self-join on
+    (band, band_hash) → distinct candidate pairs → verify true shingle
+    Jaccard ≥ 0.7. Output (a, b, jaccard) with a < b.
+    """
+    sig = minhash_signatures(docs, text_col, id_col)
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    bands = []
+    for b in range(MINHASH_BANDS):
+        cols = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                md5_long(F.concat_ws("_", *[F.col(c).cast("string") for c in cols])).alias("bh"),
+            )
+        )
+    banded = sig.select(
+        id_col, F.explode(F.array(*bands)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+    left = banded.select(F.col(id_col).alias("a"), "band", "bh")
+    right = banded.select(F.col(id_col).alias("b"), "band", "bh")
+    cand = (
+        left.join(right, ["band", "bh"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(F.col(text_col))).alias("g"),
+    ).select("id", F.size("g").alias("n"), F.explode("g").alias("s"))
+    ga = grams.select(F.col("id").alias("a"), F.col("n").alias("na"), "s")
+    gb = grams.select(F.col("id").alias("b"), F.col("n").alias("nb"), "s")
+    overlap = (
+        cand.join(ga, "a")
+        .join(gb, ["b", "s"])
+        .groupBy("a", "b")
+        .agg(F.first("na").alias("na"), F.first("nb").alias("nb"), F.count("*").alias("o"))
+        .withColumn(
+            "jaccard", F.round(F.col("o") / (F.col("na") + F.col("nb") - F.col("o")), 6)
+        )
+        .where(F.col("jaccard") >= MINHASH_VERIFY_JACCARD)
+        .select("a", "b", "jaccard")
+    )
+    return overlap
+
+
+# --------------------------------------------------------------- simhash
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash per doc from word-token hashes (native bit ops)."""
+    toks = docs.select(
+        id_col, F.explode(F.array_distinct(word_tokens(F.col(text_col)))).alias("t")
+    ).withColumn("h", md5_long(F.col("t")))
+    bit_sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    sig: Column = F.lit(0).cast("long")
+    for i in range(SIMHASH_BITS):
+        sig = sig + F.when(F.col(f"b{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(0)
+    return bit_sums.select(id_col, sig.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs at hamming ≤ 3 via 8-bit band bucketing (pigeonhole:
+    4 bands, ≤3 differing bits → at least one band identical)."""
+    sig = simhash(docs, text_col, id_col)
+    bits_per_band = SIMHASH_BITS // SIMHASH_BANDS
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * bits_per_band)
+            .bitwiseAND(F.lit((1 << bits_per_band) - 1))
+            .alias("bh"),
+        )
+        for b in range(SIMHASH_BANDS)
+    ]
+    banded = sig.select(id_col, "simhash", F.explode(F.array(*bands)).alias("bb")).select(
+        id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    left = banded.select(F.col(id_col).alias("a"), F.col("simhash").alias("sa"), "band", "bh")
+    right = banded.select(F.col(id_col).alias("b"), F.col("simhash").alias("sb"), "band", "bh")
+    return (
+        left.join(right, ["band", "bh"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "sa", "sb")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("a", "b", "hamming")
+    )
+
+
+# --------------------------------------------------------- ngram jaccard
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", block_col: str = "lang"
+) -> DataFrame:
+    """Char-4-gram Jaccard ≥ 0.8 pairs, blocked by `block_col` (lang) so
+    the inverted-index join never goes cross-language."""
+    g = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("blk"),
+        F.array_distinct(char_ngrams(norm_text(F.col(text_col)), NGRAM_N)).alias("g"),
+    ).select("id", "blk", F.size("g").alias("n"), F.explode("g").alias("s"))
+    a = g.select(F.col("id").alias("a"), "blk", F.col("n").alias("na"), "s")
+    b = g.select(F.col("id").alias("b"), "blk", F.col("n").alias("nb"), "s")
+    return (
+        a.join(b, ["blk", "s"])
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.first("na").alias("na"), F.first("nb").alias("nb"), F.count("*").alias("o"))
+        .withColumn(
+            "jaccard", F.round(F.col("o") / (F.col("na") + F.col("nb") - F.col("o")), 6)
+        )
+        .where(F.col("jaccard") >= NGRAM_JACCARD_MIN)
+        .select("a", "b", "jaccard")
+    )
+
+
+# ----------------------------------------------------- embedding cosine
+
+def embedding_cosine_pairs(
+    embs: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str = "label",
+    threshold: float = COSINE_DUP_MIN,
+) -> DataFrame:
+    """Near-dup pairs by cosine ≥ threshold, blocked by the coarse cluster
+    label (IVF-style: only same-cell comparisons)."""
+    v = embs.select(
+        F.col(id_col).alias("id"), F.col(block_col).alias("blk"), F.col(vec_col).alias("v")
+    )
+    a = v.select(F.col("id").alias("a"), "blk", F.col("v").alias("va"))
+    b = v.select(F.col("id").alias("b"), "blk", F.col("v").alias("vb"))
+    return (
+        a.join(b, "blk")
+        .where(F.col("a") < F.col("b"))
+        .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )

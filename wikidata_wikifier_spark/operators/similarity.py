@@ -1,0 +1,103 @@
+"""Similarity search over embedding columns (build brief): brute-force
+cosine top-k as the exactness baseline, and a bucketed LSH variant as the
+scale path.
+
+Both are pure native column expressions (F.aggregate dot products), fully
+oracle-checkable. The LSH hyperplanes are exact-integer grids so the
+bucket assignment is bit-reproducible in ANSI SQL (no RNG, no libm).
+
+Scale notes: brute-force is queries × corpus — fine when the query set is
+small (it broadcasts); the LSH variant buckets the corpus once (one
+narrow projection) and joins query buckets only, turning top-k into a
+per-bucket window. For 100 TB corpora the same plan holds with the bucket
+table written out as a bucketed Iceberg table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine
+
+N_PLANES = 8
+
+
+def brute_force_topk(
+    embs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """For each query vector: top-k corpus neighbors by cosine (excluding
+    self), deterministic tie-break on neighbor id."""
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
+    c = embs.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("nv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("q_id") != F.col("n_id"))
+        .withColumn("cosine", F.round(cosine(F.col("qv"), F.col("nv")), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "cosine", "rank")
+    )
+
+
+def _plane_weight(p: int, d: Column) -> Column:
+    """Deterministic integer hyperplane component: ((p*31 + d*17) % 13) - 6
+    ∈ [-6, 6] — exact arithmetic, reproducible in any SQL engine."""
+    return ((F.lit(p * 31) + d * 17) % 13 - 6).cast("double")
+
+
+def lsh_bucket(vec: Column, n_planes: int = N_PLANES) -> Column:
+    """Random-hyperplane signature: bit p = sign(plane_p · v)."""
+    bucket: Column = F.lit(0).cast("long")
+    for p in range(n_planes):
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda x, i: x.cast("double") * _plane_weight(p, i),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(F.round(dot, 6) >= 0, F.lit(2 ** p).cast("long")).otherwise(0)
+    return bucket
+
+
+def lsh_topk(
+    embs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: corpus bucketed by hyperplane signature; each
+    query only scans its own bucket. Recall < 1 by construction (that's
+    the approximation); the oracle reproduces the same buckets exactly."""
+    c = embs.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("nv"),
+        lsh_bucket(F.col(vec_col)).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("qv"),
+        lsh_bucket(F.col(vec_col)).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("q_id") != F.col("n_id"))
+        .withColumn("cosine", F.round(cosine(F.col("qv"), F.col("nv")), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "cosine", "rank")
+    )

@@ -303,6 +303,74 @@ f13 AS MATERIALIZED (SELECT f12.*, coalesce(pbw.w, 0.0) AS pgt_property_count_tf
 )
 
 
+# ---------------- training-data ops: shared SQL fragments ----------------
+
+H60 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+NORM_TEXT = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+TOKS = f"list_filter(string_split({NORM_TEXT}, ' '), x -> x <> '')"
+
+DOC_SHINGLES = f"""
+d AS MATERIALIZED (SELECT doc_id, {TOKS} AS toks FROM documents),
+sh AS MATERIALIZED (
+    SELECT doc_id, unnest(list_distinct(
+        [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         for i in generate_series(1, len(toks) - 2)])) AS s
+    FROM d
+),
+shn AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+_SIG_COLS = ",\n           ".join(
+    "min({h}) AS h{i}".format(h=H60.format(x="'s%d:' || s" % i), i=i)
+    for i in range(16)
+)
+_BAND_SELECTS = "\nUNION ALL\n".join(
+    f"""SELECT doc_id, {b} AS band,
+        {H60.format(x=" || '_' || ".join(f"CAST(h{b*4+r} AS VARCHAR)" for r in range(4)))} AS bh
+        FROM sig"""
+    for b in range(4)
+)
+
+_SIMHASH_BITSUMS = ",\n           ".join(
+    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(32)
+)
+_SIMHASH_RECOMBINE = " + ".join(
+    f"(CASE WHEN b{i} > 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END)" for i in range(32)
+)
+
+_PLANE_DOT = (
+    "list_sum([v[i] * CAST((({p} * 31 + (i - 1) * 17) % 13) - 6 AS DOUBLE)"
+    " for i in generate_series(1, len(v))])"
+)
+_LSH_BUCKET = " + ".join(
+    f"(CASE WHEN round({_PLANE_DOT.format(p=p)}, 6) >= 0 THEN CAST({2**p} AS BIGINT) ELSE 0 END)"
+    for p in range(8)
+)
+
+_LANG_SCORES = ",\n           ".join(
+    f"len(list_filter(toks, t -> list_contains({words!r}, t))) AS score_{lang}"
+    for lang, words in sorted(
+        {
+            "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+            "en": ["the", "a", "of", "and", "is", "to", "in", "that"],
+            "es": ["el", "la", "de", "y", "es", "que", "los", "una"],
+            "fr": ["le", "la", "de", "et", "est", "que", "les", "une"],
+        }.items()
+    )
+)
+_ALL_STOP = sorted(
+    {
+        w
+        for ws in [
+            ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+            ["the", "a", "of", "and", "is", "to", "in", "that"],
+            ["el", "la", "de", "y", "es", "que", "los", "una"],
+            ["le", "la", "de", "et", "est", "que", "les", "une"],
+        ]
+        for w in ws
+    }
+)
+
 ORACLES: dict[str, str] = {
     "tpch_q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -430,6 +498,237 @@ ORACLES: dict[str, str] = {
                        ORDER BY retrieval_score DESC, qnode ASC) AS rank
             FROM cand)
         WHERE rank <= 3
+    """,
+    "dedup_exact": f"""
+        WITH h AS MATERIALIZED (
+            SELECT doc_id, {H60.format(x=NORM_TEXT)} AS h FROM documents
+        ),
+        g AS MATERIALIZED (
+            SELECT h, min(doc_id) AS group_id, count(*) AS group_size FROM h GROUP BY h
+        )
+        SELECT doc_id, group_id, group_size,
+               CASE WHEN doc_id = group_id THEN 1 ELSE 0 END AS is_canonical
+        FROM h JOIN g USING (h)
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH {DOC_SHINGLES},
+        sig AS MATERIALIZED (
+            SELECT doc_id, {_SIG_COLS}
+            FROM sh GROUP BY doc_id
+        ),
+        banded AS MATERIALIZED ({_BAND_SELECTS}),
+        cand AS MATERIALIZED (
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM banded l JOIN banded r ON l.band = r.band AND l.bh = r.bh
+            WHERE l.doc_id < r.doc_id
+        ),
+        ov AS MATERIALIZED (
+            SELECT c.a, c.b, min(na.n) AS na, min(nb.n) AS nb, count(*) AS o
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.a
+            JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s
+            JOIN shn na ON na.doc_id = c.a
+            JOIN shn nb ON nb.doc_id = c.b
+            GROUP BY c.a, c.b
+        )
+        SELECT a, b, round(o * 1.0 / (na + nb - o), 6) AS jaccard
+        FROM ov WHERE round(o * 1.0 / (na + nb - o), 6) >= 0.7
+    """,
+    "dedup_simhash": f"""
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id, unnest(list_distinct({TOKS})) AS t FROM documents
+        ),
+        th AS MATERIALIZED (SELECT doc_id, {H60.format(x="t")} AS h FROM toks),
+        bitsums AS MATERIALIZED (
+            SELECT doc_id, {_SIMHASH_BITSUMS}
+            FROM th GROUP BY doc_id
+        ),
+        sig AS MATERIALIZED (
+            SELECT doc_id, {_SIMHASH_RECOMBINE} AS simhash FROM bitsums
+        ),
+        banded AS MATERIALIZED (
+            SELECT doc_id, simhash, b AS band, (simhash >> (b * 8)) & 255 AS bh
+            FROM sig, unnest([0, 1, 2, 3]) AS t(b)
+        )
+        SELECT a, b, hamming FROM (
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+                   bit_count(xor(l.simhash, r.simhash)) AS hamming
+            FROM banded l JOIN banded r ON l.band = r.band AND l.bh = r.bh
+            WHERE l.doc_id < r.doc_id)
+        WHERE hamming <= 3
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH g AS MATERIALIZED (
+            SELECT doc_id AS id, lang AS blk, len(grams) AS n, unnest(grams) AS s
+            FROM (SELECT doc_id, lang,
+                         list_distinct([substr(t, i, 4)
+                                        for i in generate_series(1, length(t) - 3)]) AS grams
+                  FROM (SELECT doc_id, lang, {NORM_TEXT} AS t FROM documents))
+        ),
+        pairs AS MATERIALIZED (
+            SELECT a.id AS a, b.id AS b, min(a.n) AS na, min(b.n) AS nb, count(*) AS o
+            FROM g a JOIN g b ON a.blk = b.blk AND a.s = b.s AND a.id < b.id
+            GROUP BY a.id, b.id
+        )
+        SELECT a, b, round(o * 1.0 / (na + nb - o), 6) AS jaccard
+        FROM pairs WHERE round(o * 1.0 / (na + nb - o), 6) >= 0.8
+    """,
+    "dedup_embedding_cosine": """
+        WITH e AS MATERIALIZED (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        )
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+    """,
+    "ann_cosine_topk": """
+        WITH q AS MATERIALIZED (
+            SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+            FROM embeddings WHERE vec_id % 100 = 0
+        ),
+        c AS MATERIALIZED (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
+        s AS MATERIALIZED (
+            SELECT q_id, n_id, round(list_cosine_similarity(qv, nv), 6) AS cosine
+            FROM c CROSS JOIN q WHERE q_id <> n_id
+        )
+        SELECT q_id, n_id, cosine, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+                ORDER BY cosine DESC, n_id ASC) AS rank FROM s)
+        WHERE rank <= 5
+    """,
+    "ann_lsh_topk": f"""
+        WITH e AS MATERIALIZED (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        bucketed AS MATERIALIZED (
+            SELECT vec_id, v, {_LSH_BUCKET} AS bucket FROM e
+        ),
+        q AS MATERIALIZED (
+            SELECT vec_id AS q_id, v AS qv, bucket FROM bucketed WHERE vec_id % 100 = 0
+        ),
+        s AS MATERIALIZED (
+            SELECT q_id, c.vec_id AS n_id,
+                   round(list_cosine_similarity(qv, c.v), 6) AS cosine
+            FROM bucketed c JOIN q USING (bucket) WHERE q_id <> c.vec_id
+        )
+        SELECT q_id, n_id, cosine, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+                ORDER BY cosine DESC, n_id ASC) AS rank FROM s)
+        WHERE rank <= 5
+    """,
+    "text_lang_id": f"""
+        WITH t AS MATERIALIZED (SELECT doc_id, {TOKS} AS toks FROM documents),
+        s AS MATERIALIZED (
+            SELECT doc_id, {_LANG_SCORES}
+            FROM t
+        )
+        SELECT doc_id, score_de, score_en, score_es, score_fr,
+               CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'unknown'
+                    WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+                    WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+                    WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+                    ELSE 'fr' END AS pred_lang
+        FROM s
+    """,
+    "text_quality_score": f"""
+        WITH base AS MATERIALIZED (
+            SELECT doc_id, {NORM_TEXT} AS t, {TOKS} AS toks FROM documents
+        ),
+        m AS MATERIALIZED (
+            SELECT doc_id,
+                   length(t) AS n_chars,
+                   len(toks) AS n_toks,
+                   length(regexp_replace(t, '[A-Za-z0-9\\s]+', '', 'g')) AS n_punct,
+                   len(list_filter(toks, x -> list_contains({_ALL_STOP!r}, x))) AS n_stop
+            FROM base
+        )
+        SELECT doc_id,
+               n_chars AS n_chars_norm,
+               n_toks AS n_tokens,
+               round(CASE WHEN n_chars = 0 THEN 1.0 ELSE n_punct * 1.0 / n_chars END, 6) AS punct_ratio,
+               round(CASE WHEN n_toks = 0 THEN 0.0 ELSE n_stop * 1.0 / n_toks END, 6) AS stopword_ratio,
+               round(CASE WHEN n_toks = 0 THEN 0.0
+                          ELSE (n_chars - (n_toks - 1)) * 1.0 / n_toks END, 6) AS mean_token_len,
+               round(
+                 (CASE WHEN n_chars >= 20 AND n_chars <= 20000 THEN 1 ELSE 0 END) * 0.4
+               + (CASE WHEN (CASE WHEN n_chars = 0 THEN 1.0 ELSE n_punct * 1.0 / n_chars END) <= 0.2
+                       THEN 1 ELSE 0 END) * 0.2
+               + (CASE WHEN (CASE WHEN n_toks = 0 THEN 0.0 ELSE n_stop * 1.0 / n_toks END) >= 0.01
+                       THEN 1 ELSE 0 END) * 0.2
+               + (CASE WHEN (CASE WHEN n_toks = 0 THEN 0.0
+                                  ELSE (n_chars - (n_toks - 1)) * 1.0 / n_toks END) BETWEEN 2.0 AND 12.0
+                       THEN 1 ELSE 0 END) * 0.2, 6) AS quality
+        FROM m
+    """,
+    "text_token_counts": f"""
+        SELECT doc_id,
+               len(list_filter(string_split({NORM_TEXT}, ' '), x -> x <> '')) AS ws_tokens,
+               len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens,
+               length(text) AS n_chars_raw
+        FROM documents
+    """,
+    "text_fingerprint": f"""
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct({TOKS})), ' ')) AS fingerprint,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       [CAST(ascii(substr({NORM_TEXT}, i, 1)) AS BIGINT)
+                        for i in generate_series(1, length({NORM_TEXT}))]),
+                   (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_hash
+        FROM documents
+    """,
+    "multimodal_binary_features": """
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text) AS digest,
+               CASE WHEN starts_with(substr(lower(hex(encode(text))), 1, 8), '89504e47') THEN 'png'
+                    WHEN starts_with(substr(lower(hex(encode(text))), 1, 6), 'ffd8ff') THEN 'jpeg'
+                    WHEN starts_with(substr(lower(hex(encode(text))), 1, 6), '494433') THEN 'mp3'
+                    WHEN starts_with(substr(lower(hex(encode(text))), 1, 8), '52494646') THEN 'riff'
+                    ELSE 'unknown' END AS magic
+        FROM documents
+    """,
+    # multimodal_decode_stub: mapInPandas Python stage → rows-only check
+    "events_pivot": """
+        SELECT user_id,
+               count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+               count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+               count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+               count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+               count(*) FILTER (WHERE event_type = 'view')     AS n_view,
+               round(sum(value), 4) AS total_value,
+               count(*) AS n_events
+        FROM events GROUP BY user_id
+    """,
+    "events_sessionize": """
+        WITH w AS MATERIALIZED (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+        ),
+        s AS MATERIALIZED (
+            SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+            FROM w
+        )
+        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n_events,
+               round(sum(value), 4) AS session_value,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+        FROM s GROUP BY user_id, session_idx
+    """,
+    "events_hourly_windows": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+               event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+        FROM events GROUP BY 1, 2
+    """,
+    "events_json_extract": """
+        SELECT event_id,
+               CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INTEGER) AS k
+        FROM events
+        WHERE regexp_extract(props, '"k":\\s*(\\d+)', 1) <> ''
     """,
     "connected_components": """
         WITH RECURSIVE raw_edges AS (

@@ -276,6 +276,118 @@ def q_triples_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- training-data pipeline ops
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_duplicates
+
+    return exact_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_pairs
+
+    return simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import embedding_cosine_pairs
+
+    return embedding_cosine_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+def _ann_queries(embs: DataFrame) -> DataFrame:
+    return embs.where(F.col("vec_id") % 100 == 0)
+
+
+def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import brute_force_topk
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(embs, _ann_queries(embs), k=5)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import lsh_topk
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(embs, _ann_queries(embs), k=5)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import lang_id
+
+    return lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import quality_score
+
+    return quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import token_counts
+
+    return token_counts(load_table(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import fingerprint
+
+    return fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+def q_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import binary_features, to_media_table
+
+    return binary_features(to_media_table(load_table(spark, sf_dir, "documents")))
+
+
+def q_media_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas Arrow-batch decode plumbing with the stub decoder —
+    deterministic fake dims; rows-only driver check (Python stage)."""
+    from .operators.multimodal import decode_batch, to_media_table
+
+    return decode_batch(to_media_table(load_table(spark, sf_dir, "documents")))
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.events import pivot_event_counts
+
+    return pivot_event_counts(spark, sf_dir)
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.events import sessionize
+
+    return sessionize(spark, sf_dir)
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.events import hourly_windows
+
+    return hourly_windows(spark, sf_dir)
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.events import json_props_extract
+
+    return json_props_extract(spark, sf_dir)
+
+
 QUERIES: dict[str, QueryFn] = {
     "tpch_q1_pricing_summary": analytics.q1_pricing_summary,
     "tpch_q3_top_orders": analytics.q3_top_orders,
@@ -313,4 +425,21 @@ QUERIES: dict[str, QueryFn] = {
     "wikify_end_to_end": q_wikify_end_to_end,
     "connected_components": q_connected_components,
     "triples_emit": q_triples_emit,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram,
+    "dedup_embedding_cosine": q_dedup_cosine,
+    "ann_cosine_topk": q_ann_brute,
+    "ann_lsh_topk": q_ann_lsh,
+    "text_lang_id": q_lang_id,
+    "text_quality_score": q_quality,
+    "text_token_counts": q_token_counts,
+    "text_fingerprint": q_fingerprint,
+    "multimodal_binary_features": q_binary_features,
+    "multimodal_decode_stub": q_media_decode_stub,
+    "events_pivot": q_events_pivot,
+    "events_sessionize": q_events_sessionize,
+    "events_hourly_windows": q_events_hourly,
+    "events_json_extract": q_events_json,
 }
