@@ -25,6 +25,14 @@ HEADLINE = [
     "tpch_q3_top_orders",
     "tpch_q5_region_volume",
     "candidates_dedup",
+    "wikify_end_to_end",
+    "triples_emit",
+    "dedup_minhash_lsh",
+    "dedup_exact",
+    "ann_cosine_topk",
+    "text_quality_score",
+    "events_sessionize",
+    "connected_components",
 ]
 
 
@@ -64,19 +72,21 @@ def main() -> None:
         rows_out += n
 
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
-                "rows_out": rows_out,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        "rows_out": rows_out,
+    }
+    if "triples_emit" in timings and timings["triples_emit"] > 0:
+        from wikidata_wikifier_spark.queries import QUERIES as _Q
+
+        n_triples = _Q["triples_emit"](spark, args.sf_dir).count()
+        out["triples_per_sec"] = round(n_triples / timings["triples_emit"], 1)
+    print(json.dumps(out))
     spark.stop()
 
 

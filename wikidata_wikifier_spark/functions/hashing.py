@@ -28,6 +28,20 @@ def seeded_md5_long(col: Column, seed: int) -> Column:
     return md5_long(F.concat(F.lit(f"s{seed}:"), col))
 
 
+AFFINE_MOD = 2147483647  # 2^31 - 1 (Mersenne prime)
+
+
+def affine_hash_family(col: Column, seed: int) -> Column:
+    """Cheap universal-hash family over ONE base md5: h_i = (a_i·h + b_i)
+    mod (2^31-1), h = md5_long(x) mod M. One md5 per value instead of K —
+    the standard MinHash trick; all operands fit in a BIGINT so the
+    expression is exact in any SQL engine."""
+    a = 2 * seed + 1
+    b = seed * seed + 1
+    base = md5_long(col) % AFFINE_MOD
+    return (base * a + b) % AFFINE_MOD
+
+
 def char_ngrams(col: Column, n: int) -> Column:
     """Array of character n-grams (shingles) of a string — native.
 

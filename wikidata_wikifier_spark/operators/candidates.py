@@ -23,7 +23,7 @@ All scoring rules here are deterministic and mirrored in the DuckDB oracle
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import char_ngrams, edge_ngrams
@@ -32,6 +32,31 @@ from ..functions.strings import clean_label, levenshtein_similarity
 EDGE_MIN, EDGE_MAX = 3, 10
 TRIGRAM_JACCARD_MIN = 0.5
 FUZZY_SIM_MIN = 0.7
+# ES returns a bounded result page per query; we mirror that: each
+# strategy keeps its top N candidates per mention (score desc, qnode asc).
+# Without this cap a head label ("cold widget" shared by hundreds of
+# entities at scale) drags its full entity list through every downstream
+# feature stage.
+TOP_N_PER_STRATEGY = 50
+
+
+def _cap_per_mention(df: DataFrame) -> DataFrame:
+    w = Window.partitionBy("row").orderBy(
+        F.desc("retrieval_score"), F.asc("qnode")
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= TOP_N_PER_STRATEGY)
+        .drop("_rn")
+    )
+# Candidate-pair generation uses PREFIX FILTERING (Chaudhuri et al. /
+# ppjoin family): order each string's grams by global document frequency
+# (rarest first) and join only on the first floor(n/2)+1 of them. For
+# Jaccard ≥ 0.5 this is RECALL-EXACT (J ≥ 0.5 ⇒ overlap ≥ 0.5·n_a ⇒ the
+# rarest-half prefixes must intersect) while head grams ("wid" in every
+# "widget" alias, O(df²) join fan-out) almost never appear in a prefix.
+# The fuzzy strategy reuses the same candidate pairs — heuristic recall
+# there, like Elasticsearch's own fuzzy retrieval.
 
 
 def _alias_index(index: DataFrame) -> DataFrame:
@@ -74,6 +99,7 @@ def exact_matches(mentions: DataFrame, index: DataFrame) -> DataFrame:
             F.lit("exact").alias("method"),
             F.lit(1.0).alias("retrieval_score"),
         )
+        .transform(_cap_per_mention)
     )
 
 
@@ -118,6 +144,7 @@ def ngram_matches(mentions: DataFrame, index: DataFrame) -> DataFrame:
             F.lit("ngram").alias("method"),
             "retrieval_score",
         )
+        .transform(_cap_per_mention)
     )
 
 
@@ -125,42 +152,114 @@ def _gram_side(df: DataFrame, col: str, out: str) -> Column:
     return F.explode(F.array_distinct(char_ngrams(F.col(col), 3))).alias(out)
 
 
+def _prefix(df: DataFrame, part_cols: list[str], n_col: str) -> DataFrame:
+    """Keep each string's floor(n/2)+1 rarest grams (order: gdf, gram)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*part_cols).orderBy("gdf", "gram")
+    limit = F.floor(F.col(n_col) / 2) + 1
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= limit)
+        .drop("rk", "gdf")
+    )
+
+
+def _scored_string_pairs(mentions: DataFrame, index: DataFrame) -> DataFrame:
+    """STRING-level candidate scoring: (label_clean, alias_norm, jaccard,
+    lev_sim) over DISTINCT strings only.
+
+    Key scale insight: trigram-Jaccard and levenshtein depend only on the
+    string pair, and distinct strings grow with the vocabulary, not the
+    corpus — at 100× rows the distinct-label set barely moves. Verifying
+    per (mention, alias) row instead explodes with entity duplication
+    (measured: 33.7M pairs at sf0.1 vs ~100k distinct string pairs).
+    The per-qnode fan-out happens only AFTER the similarity threshold,
+    and is immediately capped per mention."""
+    a_str = (
+        _alias_index(index)
+        .select("alias_norm")
+        .distinct()
+        .withColumn("ag", F.array_distinct(char_ngrams(F.col("alias_norm"), 3)))
+        .withColumn("n_a", F.size("ag"))
+        .where(F.col("n_a") > 0)
+    )
+    m_str = (
+        mentions.select("label_clean")
+        .distinct()
+        .withColumn("mg", F.array_distinct(char_ngrams(F.col("label_clean"), 3)))
+        .withColumn("n_m", F.size("mg"))
+        .where(F.col("n_m") > 0)
+    )
+    gram_df = a_str.select(F.explode("ag").alias("gram")).groupBy("gram").agg(
+        F.count("*").alias("gdf")
+    )
+    a_grams = a_str.select("alias_norm", "n_a", F.explode("ag").alias("gram")).join(
+        F.broadcast(gram_df), "gram"
+    )
+    a_pre = _prefix(a_grams, ["alias_norm"], "n_a")
+    m_grams = (
+        m_str.select("label_clean", "n_m", F.explode("mg").alias("gram"))
+        .join(F.broadcast(gram_df), "gram", "left")
+        .na.fill({"gdf": 0})
+    )
+    m_pre = _prefix(m_grams, ["label_clean"], "n_m")
+
+    pairs = (
+        m_pre.join(F.broadcast(a_pre), "gram", "inner")
+        .select("label_clean", "alias_norm")
+        .distinct()
+    )
+    return (
+        pairs.join(F.broadcast(m_str.select("label_clean", "mg", "n_m")), "label_clean")
+        .join(F.broadcast(a_str.select("alias_norm", "ag", "n_a")), "alias_norm")
+        .withColumn("overlap", F.size(F.array_intersect("mg", "ag")))
+        .withColumn(
+            "jaccard",
+            F.col("overlap") / (F.col("n_m") + F.col("n_a") - F.col("overlap")),
+        )
+        .withColumn("lev_sim", levenshtein_similarity(F.col("label_clean"), F.col("alias_norm")))
+        .select("label_clean", "alias_norm", "jaccard", "lev_sim")
+    )
+
+
 def trigram_matches(mentions: DataFrame, index: DataFrame) -> DataFrame:
     """get-trigram-matches (wikifier.py:88-90): char-3gram overlap with
-    Jaccard ≥ 0.5 against any alias; score = best Jaccard."""
-    m = mentions.select(
-        "row",
-        "label_clean",
-        F.size(F.array_distinct(char_ngrams(F.col("label_clean"), 3))).alias("n_m"),
-        _gram_side(mentions, "label_clean", "gram"),
+    Jaccard ≥ 0.5 against any alias; score = best Jaccard.
+
+    Plan: string-level prefix-filtered scoring, threshold, then fan out
+    to (mention, qnode) and cap — see _scored_string_pairs."""
+    return _expand_string_matches(
+        mentions,
+        index,
+        _scored_string_pairs(mentions, index)
+        .where(F.col("jaccard") >= TRIGRAM_JACCARD_MIN)
+        .select("label_clean", "alias_norm", F.col("jaccard").alias("score")),
+        "trigram",
     )
-    idx = _alias_index(index).select(
-        "qnode",
-        "kg_label_src",
-        "pagerank",
-        "alias_norm",
-        F.size(F.array_distinct(char_ngrams(F.col("alias_norm"), 3))).alias("n_a"),
-        _gram_side(index, "alias_norm", "gram"),
+
+
+def _expand_string_matches(
+    mentions: DataFrame, index: DataFrame, str_matches: DataFrame, method: str
+) -> DataFrame:
+    """(label_clean, alias_norm, score) string matches → per-(mention,
+    qnode) candidates with max-over-aliases score, capped per mention."""
+    aliases = _alias_index(index).select(
+        "qnode", "kg_label_src", "pagerank", "alias_norm"
     )
-    joined = m.join(F.broadcast(idx), "gram", "inner")
-    per_alias = (
-        joined.groupBy("row", "label_clean", "qnode", "alias_norm")
+    n_parts = max(mentions.sparkSession.sparkContext.defaultParallelism * 2, 16)
+    expanded = (
+        mentions.select("row", "label_clean")
+        .repartition(n_parts, F.col("row"))
+        .join(F.broadcast(str_matches), "label_clean")
+        .join(F.broadcast(aliases), "alias_norm")
+    )
+    return (
+        expanded.groupBy("row", "label_clean", "qnode")
         .agg(
             F.first("kg_label_src").alias("kg_label"),
             F.first("pagerank").alias("pagerank"),
-            F.first("n_m").alias("n_m"),
-            F.first("n_a").alias("n_a"),
-            F.count("*").alias("overlap"),
-        )
-        .withColumn("jaccard", F.col("overlap") / (F.col("n_m") + F.col("n_a") - F.col("overlap")))
-        .where(F.col("jaccard") >= TRIGRAM_JACCARD_MIN)
-    )
-    return (
-        per_alias.groupBy("row", "label_clean", "qnode")
-        .agg(
-            F.first("kg_label").alias("kg_label"),
-            F.first("pagerank").alias("pagerank"),
-            F.round(F.max("jaccard"), 6).alias("retrieval_score"),
+            F.round(F.max("score"), 6).alias("retrieval_score"),
         )
         .select(
             "row",
@@ -168,44 +267,25 @@ def trigram_matches(mentions: DataFrame, index: DataFrame) -> DataFrame:
             "qnode",
             "kg_label",
             "pagerank",
-            F.lit("trigram").alias("method"),
+            F.lit(method).alias("method"),
             "retrieval_score",
         )
+        .transform(_cap_per_mention)
     )
 
 
 def fuzzy_matches(mentions: DataFrame, index: DataFrame) -> DataFrame:
     """get-fuzzy-augmented-matches (wikifier.py:82-84): edit-distance
-    tolerant retrieval. Plan: trigram-overlap pre-filter (any shared gram —
-    the candidate generator) then NATIVE levenshtein verification ≥ 0.7;
-    score = normalized levenshtein similarity, max over aliases. The
-    verify step stays in whole-stage codegen (F.levenshtein)."""
-    m = mentions.select("row", "label_clean", _gram_side(mentions, "label_clean", "gram"))
-    idx = _alias_index(index).select(
-        "qnode", "kg_label_src", "pagerank", "alias_norm", _gram_side(index, "alias_norm", "gram")
-    )
-    pairs = (
-        m.join(F.broadcast(idx), "gram", "inner")
-        .dropDuplicates(["row", "label_clean", "qnode", "alias_norm"])
-        .withColumn("sim", levenshtein_similarity(F.col("label_clean"), F.col("alias_norm")))
-        .where(F.col("sim") >= FUZZY_SIM_MIN)
-    )
-    return (
-        pairs.groupBy("row", "label_clean", "qnode")
-        .agg(
-            F.first("kg_label_src").alias("kg_label"),
-            F.first("pagerank").alias("pagerank"),
-            F.round(F.max("sim"), 6).alias("retrieval_score"),
-        )
-        .select(
-            "row",
-            "label_clean",
-            "qnode",
-            "kg_label",
-            "pagerank",
-            F.lit("fuzzy").alias("method"),
-            "retrieval_score",
-        )
+    tolerant retrieval. Plan: string-level prefix-filtered candidate
+    pairs, NATIVE levenshtein verification >= 0.7 (whole-stage codegen),
+    then fan-out + per-mention cap — see _scored_string_pairs."""
+    return _expand_string_matches(
+        mentions,
+        index,
+        _scored_string_pairs(mentions, index)
+        .where(F.col("lev_sim") >= FUZZY_SIM_MIN)
+        .select("label_clean", "alias_norm", F.col("lev_sim").alias("score")),
+        "fuzzy",
     )
 
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import char_ngrams, md5_long, seeded_md5_long
+from ..functions.hashing import affine_hash_family, char_ngrams, md5_long
 from ..functions.vectors import cosine
 
 MINHASH_K = 16
@@ -35,6 +35,18 @@ SIMHASH_MAX_HAMMING = 3
 NGRAM_N = 4
 NGRAM_JACCARD_MIN = 0.8
 COSINE_DUP_MIN = 0.4  # synthetic clusters are loose; tune per-corpus
+
+
+def _spread(df: DataFrame, col: str) -> DataFrame:
+    """Explicit-width repartition before per-row-heavy compute.
+
+    Single-file inputs arrive as one partition and AQE would coalesce a
+    column-only repartition of a few MB right back to one task — but the
+    DOWNSTREAM cost (shingle explode × K hashes) is orders of magnitude
+    larger than the shuffle bytes AQE sees. An explicit partition count is
+    preserved by AQE and spreads the compute."""
+    n = max(df.sparkSession.sparkContext.defaultParallelism * 2, 16)
+    return df.repartition(n, F.col(col))
 
 
 def norm_text(col: Column) -> Column:
@@ -84,10 +96,10 @@ def minhash_signatures(
 ) -> DataFrame:
     """K-wide MinHash signature per doc: explode shingles once, take K
     seeded min-hashes in one aggregate (K columns, map-side combined)."""
-    sh = docs.select(
+    sh = _spread(docs, id_col).select(
         id_col, F.explode(F.array_distinct(word_shingles(F.col(text_col)))).alias("s")
     )
-    aggs = [F.min(seeded_md5_long(F.col("s"), i)).alias(f"h{i}") for i in range(k)]
+    aggs = [F.min(affine_hash_family(F.col("s"), i)).alias(f"h{i}") for i in range(k)]
     return sh.groupBy(id_col).agg(*aggs)
 
 
@@ -124,31 +136,29 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    grams = docs.select(
+    sets = _spread(docs, id_col).select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(F.col(text_col))).alias("g"),
-    ).select("id", F.size("g").alias("n"), F.explode("g").alias("s"))
-    ga = grams.select(F.col("id").alias("a"), F.col("n").alias("na"), "s")
-    gb = grams.select(F.col("id").alias("b"), F.col("n").alias("nb"), "s")
-    overlap = (
-        cand.join(ga, "a")
-        .join(gb, ["b", "s"])
-        .groupBy("a", "b")
-        .agg(F.first("na").alias("na"), F.first("nb").alias("nb"), F.count("*").alias("o"))
+    ).withColumn("n", F.size("g"))
+    sa = sets.select(F.col("id").alias("a"), F.col("g").alias("ga"), F.col("n").alias("na"))
+    sb = sets.select(F.col("id").alias("b"), F.col("g").alias("gb"), F.col("n").alias("nb"))
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("o", F.size(F.array_intersect("ga", "gb")))
         .withColumn(
             "jaccard", F.round(F.col("o") / (F.col("na") + F.col("nb") - F.col("o")), 6)
         )
         .where(F.col("jaccard") >= MINHASH_VERIFY_JACCARD)
         .select("a", "b", "jaccard")
     )
-    return overlap
 
 
 # --------------------------------------------------------------- simhash
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """32-bit SimHash per doc from word-token hashes (native bit ops)."""
-    toks = docs.select(
+    toks = _spread(docs, id_col).select(
         id_col, F.explode(F.array_distinct(word_tokens(F.col(text_col)))).alias("t")
     ).withColumn("h", md5_long(F.col("t")))
     bit_sums = toks.groupBy(id_col).agg(
@@ -200,20 +210,42 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
 def ngram_jaccard_pairs(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", block_col: str = "lang"
 ) -> DataFrame:
-    """Char-4-gram Jaccard ≥ 0.8 pairs, blocked by `block_col` (lang) so
-    the inverted-index join never goes cross-language."""
-    g = docs.select(
+    """Char-4-gram Jaccard ≥ 0.8 pairs, blocked by `block_col` (lang).
+
+    Prefix-filtered generate-then-verify (ppjoin-style): each doc joins
+    only on its floor(n/5)+1 RAREST grams (global df order) — for
+    J ≥ 0.8, overlap ≥ 0.8·n per side, so the rarest-fifth prefixes of a
+    true pair must intersect: RECALL-EXACT with the O(df²) head-gram
+    fan-out gone. Exact Jaccard is then verified on the candidates' full
+    gram sets."""
+    sets = docs.select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("blk"),
         F.array_distinct(char_ngrams(norm_text(F.col(text_col)), NGRAM_N)).alias("g"),
-    ).select("id", "blk", F.size("g").alias("n"), F.explode("g").alias("s"))
-    a = g.select(F.col("id").alias("a"), "blk", F.col("n").alias("na"), "s")
-    b = g.select(F.col("id").alias("b"), "blk", F.col("n").alias("nb"), "s")
-    return (
-        a.join(b, ["blk", "s"])
+    ).withColumn("n", F.size("g"))
+    g = _spread(sets, "id").select("id", "blk", "n", F.explode("g").alias("s"))
+    df_ = g.groupBy("blk", "s").agg(F.count("*").alias("gdf"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy("gdf", "s")
+    pre = (
+        g.join(F.broadcast(df_), ["blk", "s"])
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= F.floor(F.col("n") / 5) + 1)
+    )
+    cand = (
+        pre.select(F.col("id").alias("a"), "blk", "s")
+        .join(pre.select(F.col("id").alias("b"), "blk", "s"), ["blk", "s"])
         .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.first("na").alias("na"), F.first("nb").alias("nb"), F.count("*").alias("o"))
+        .select("a", "b")
+        .distinct()
+    )
+    sa = sets.select(F.col("id").alias("a"), F.col("g").alias("ga"), F.col("n").alias("na"))
+    sb = sets.select(F.col("id").alias("b"), F.col("g").alias("gb"), F.col("n").alias("nb"))
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("o", F.size(F.array_intersect("ga", "gb")))
         .withColumn(
             "jaccard", F.round(F.col("o") / (F.col("na") + F.col("nb") - F.col("o")), 6)
         )

@@ -61,25 +61,6 @@ alias_prefix AS MATERIALIZED (
     FROM (SELECT *, unnest(generate_series(3, least(length(alias_norm), 10))) AS n
           FROM alias_idx WHERE length(alias_norm) >= 3)
 ),
-mg AS MATERIALIZED (
-    SELECT row, label_clean,
-           list_distinct([substr(label_clean, i, 3)
-                          for i in generate_series(1, length(label_clean) - 2)]) AS grams
-    FROM cm WHERE length(label_clean) >= 3
-),
-mgrams AS MATERIALIZED (
-    SELECT row, label_clean, len(grams) AS n_m, unnest(grams) AS gram FROM mg
-),
-ag AS MATERIALIZED (
-    SELECT qnode, label, pagerank, alias_norm,
-           list_distinct([substr(alias_norm, i, 3)
-                          for i in generate_series(1, length(alias_norm) - 2)]) AS grams
-    FROM alias_idx WHERE length(alias_norm) >= 3
-),
-agrams AS MATERIALIZED (
-    SELECT qnode, label, pagerank, alias_norm, len(grams) AS n_a,
-           unnest(grams) AS gram FROM ag
-),
 exact_m AS MATERIALIZED (
     SELECT row, label_clean, qnode,
            min(alias_idx.label) AS kg_label,
@@ -88,6 +69,7 @@ exact_m AS MATERIALIZED (
            1.0           AS retrieval_score
     FROM cm JOIN alias_idx ON cm.label_clean = alias_idx.alias_norm
     GROUP BY 1, 2, 3
+    QUALIFY row_number() OVER (PARTITION BY row ORDER BY retrieval_score DESC, qnode ASC) <= 50
 ),
 ngram_m AS MATERIALIZED (
     SELECT row, label_clean, qnode,
@@ -97,48 +79,74 @@ ngram_m AS MATERIALIZED (
            round(max(length(prefix) * 1.0 / length(alias_norm)), 6) AS retrieval_score
     FROM mk JOIN alias_prefix ON mk.mkey = alias_prefix.prefix
     GROUP BY 1, 2, 3
+    QUALIFY row_number() OVER (PARTITION BY row ORDER BY retrieval_score DESC, qnode ASC) <= 50
 ),
-tri_alias AS MATERIALIZED (
-    SELECT row, label_clean, qnode, alias_norm,
-           min(label)    AS kg_label,
-           min(pagerank) AS pagerank,
-           min(n_m)      AS n_m,
-           min(n_a)      AS n_a,
-           count(*)      AS overlap
-    FROM mgrams JOIN agrams USING (gram)
-    GROUP BY 1, 2, 3, 4
+astrn AS MATERIALIZED (
+    SELECT alias_norm,
+           list_distinct([substr(alias_norm, i, 3)
+                          for i in generate_series(1, length(alias_norm) - 2)]) AS ag,
+           len(list_distinct([substr(alias_norm, i, 3)
+                          for i in generate_series(1, length(alias_norm) - 2)])) AS n_a
+    FROM (SELECT DISTINCT alias_norm FROM alias_idx)
+    WHERE length(alias_norm) >= 3
+),
+mstrn AS MATERIALIZED (
+    SELECT label_clean,
+           list_distinct([substr(label_clean, i, 3)
+                          for i in generate_series(1, length(label_clean) - 2)]) AS mg,
+           len(list_distinct([substr(label_clean, i, 3)
+                          for i in generate_series(1, length(label_clean) - 2)])) AS n_m
+    FROM (SELECT DISTINCT label_clean FROM cm)
+    WHERE length(label_clean) >= 3
+),
+aex AS MATERIALIZED (SELECT alias_norm, n_a, unnest(ag) AS gram FROM astrn),
+sgdf AS MATERIALIZED (SELECT gram, count(*) AS gdf FROM aex GROUP BY gram),
+apre AS MATERIALIZED (
+    SELECT alias_norm, gram FROM (
+        SELECT aex.*, row_number() OVER (PARTITION BY alias_norm
+                   ORDER BY sgdf.gdf, aex.gram) AS rk
+        FROM aex JOIN sgdf USING (gram))
+    WHERE rk <= floor(n_a / 2) + 1
+),
+mex AS MATERIALIZED (SELECT label_clean, n_m, unnest(mg) AS gram FROM mstrn),
+mpre AS MATERIALIZED (
+    SELECT label_clean, gram FROM (
+        SELECT mex.*, row_number() OVER (PARTITION BY label_clean
+                   ORDER BY coalesce(sgdf.gdf, 0), mex.gram) AS rk
+        FROM mex LEFT JOIN sgdf USING (gram))
+    WHERE rk <= floor(n_m / 2) + 1
+),
+spairs AS MATERIALIZED (
+    SELECT DISTINCT label_clean, alias_norm FROM mpre JOIN apre USING (gram)
+),
+sscores AS MATERIALIZED (
+    SELECT p.label_clean, p.alias_norm,
+           len(list_intersect(m.mg, a.ag)) * 1.0
+               / (m.n_m + a.n_a - len(list_intersect(m.mg, a.ag))) AS jaccard,
+           CASE WHEN greatest(length(label_clean), length(alias_norm)) = 0 THEN 1.0 ELSE 1.0 - levenshtein(label_clean, alias_norm) * 1.0 / greatest(length(label_clean), length(alias_norm)) END AS lev_sim
+    FROM spairs p JOIN mstrn m USING (label_clean) JOIN astrn a USING (alias_norm)
 ),
 trigram_m AS MATERIALIZED (
     SELECT row, label_clean, qnode,
-           min(kg_label) AS kg_label,
-           min(pagerank) AS pagerank,
-           'trigram'     AS method,
-           round(max(overlap * 1.0 / (n_m + n_a - overlap)), 6) AS retrieval_score
-    FROM tri_alias
-    WHERE overlap * 1.0 / (n_m + n_a - overlap) >= 0.5
+           min(alias_idx.label) AS kg_label,
+           min(pagerank)        AS pagerank,
+           'trigram'            AS method,
+           round(max(jaccard), 6) AS retrieval_score
+    FROM cm JOIN sscores USING (label_clean) JOIN alias_idx USING (alias_norm)
+    WHERE jaccard >= 0.5
     GROUP BY 1, 2, 3
-),
-fuzzy_pairs AS MATERIALIZED (
-    SELECT DISTINCT row, label_clean, qnode, label, pagerank, alias_norm
-    FROM mgrams JOIN agrams USING (gram)
-),
-fuzzy_sims AS MATERIALIZED (
-    SELECT *,
-           CASE WHEN greatest(length(label_clean), length(alias_norm)) = 0 THEN 1.0
-                ELSE 1.0 - levenshtein(label_clean, alias_norm) * 1.0
-                     / greatest(length(label_clean), length(alias_norm))
-           END AS sim
-    FROM fuzzy_pairs
+    QUALIFY row_number() OVER (PARTITION BY row ORDER BY retrieval_score DESC, qnode ASC) <= 50
 ),
 fuzzy_m AS MATERIALIZED (
     SELECT row, label_clean, qnode,
-           min(label)    AS kg_label,
-           min(pagerank) AS pagerank,
-           'fuzzy'       AS method,
-           round(max(sim), 6) AS retrieval_score
-    FROM fuzzy_sims
-    WHERE sim >= 0.7
+           min(alias_idx.label) AS kg_label,
+           min(pagerank)        AS pagerank,
+           'fuzzy'              AS method,
+           round(max(lev_sim), 6) AS retrieval_score
+    FROM cm JOIN sscores USING (label_clean) JOIN alias_idx USING (alias_norm)
+    WHERE lev_sim >= 0.7
     GROUP BY 1, 2, 3
+    QUALIFY row_number() OVER (PARTITION BY row ORDER BY retrieval_score DESC, qnode ASC) <= 50
 ),
 all_candidates AS MATERIALIZED (
     SELECT * FROM exact_m
@@ -321,7 +329,9 @@ shn AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
 """
 
 _SIG_COLS = ",\n           ".join(
-    "min({h}) AS h{i}".format(h=H60.format(x="'s%d:' || s" % i), i=i)
+    "min((({h} % 2147483647) * {a} + {b}) % 2147483647) AS h{i}".format(
+        h=H60.format(x="s"), a=2 * i + 1, b=i * i + 1, i=i
+    )
     for i in range(16)
 )
 _BAND_SELECTS = "\nUNION ALL\n".join(
@@ -522,14 +532,14 @@ ORACLES: dict[str, str] = {
             FROM banded l JOIN banded r ON l.band = r.band AND l.bh = r.bh
             WHERE l.doc_id < r.doc_id
         ),
+        dsets AS MATERIALIZED (
+            SELECT doc_id, list_distinct(list(s)) AS g, count(DISTINCT s) AS n
+            FROM sh GROUP BY doc_id
+        ),
         ov AS MATERIALIZED (
-            SELECT c.a, c.b, min(na.n) AS na, min(nb.n) AS nb, count(*) AS o
-            FROM cand c
-            JOIN sh sa ON sa.doc_id = c.a
-            JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s
-            JOIN shn na ON na.doc_id = c.a
-            JOIN shn nb ON nb.doc_id = c.b
-            GROUP BY c.a, c.b
+            SELECT c.a, c.b, sa.n AS na, sb.n AS nb,
+                   len(list_intersect(sa.g, sb.g)) AS o
+            FROM cand c JOIN dsets sa ON sa.doc_id = c.a JOIN dsets sb ON sb.doc_id = c.b
         )
         SELECT a, b, round(o * 1.0 / (na + nb - o), 6) AS jaccard
         FROM ov WHERE round(o * 1.0 / (na + nb - o), 6) >= 0.7
@@ -558,20 +568,32 @@ ORACLES: dict[str, str] = {
         WHERE hamming <= 3
     """,
     "dedup_ngram_jaccard": f"""
-        WITH g AS MATERIALIZED (
-            SELECT doc_id AS id, lang AS blk, len(grams) AS n, unnest(grams) AS s
-            FROM (SELECT doc_id, lang,
-                         list_distinct([substr(t, i, 4)
-                                        for i in generate_series(1, length(t) - 3)]) AS grams
-                  FROM (SELECT doc_id, lang, {NORM_TEXT} AS t FROM documents))
+        WITH sets AS MATERIALIZED (
+            SELECT doc_id AS id, lang AS blk,
+                   list_distinct([substr(t, i, 4)
+                                  for i in generate_series(1, length(t) - 3)]) AS g
+            FROM (SELECT doc_id, lang, {NORM_TEXT} AS t FROM documents)
         ),
-        pairs AS MATERIALIZED (
-            SELECT a.id AS a, b.id AS b, min(a.n) AS na, min(b.n) AS nb, count(*) AS o
-            FROM g a JOIN g b ON a.blk = b.blk AND a.s = b.s AND a.id < b.id
-            GROUP BY a.id, b.id
+        sized AS MATERIALIZED (SELECT id, blk, g, len(g) AS n FROM sets),
+        ex AS MATERIALIZED (SELECT id, blk, n, unnest(g) AS s FROM sized),
+        gdf AS MATERIALIZED (SELECT blk, s, count(*) AS gdf FROM ex GROUP BY blk, s),
+        pre AS MATERIALIZED (
+            SELECT id, blk, s FROM (
+                SELECT ex.*, row_number() OVER (PARTITION BY id ORDER BY gdf.gdf, ex.s) AS rk
+                FROM ex JOIN gdf USING (blk, s))
+            WHERE rk <= floor(n / 5) + 1
+        ),
+        cand AS MATERIALIZED (
+            SELECT DISTINCT a.id AS a, b.id AS b
+            FROM pre a JOIN pre b ON a.blk = b.blk AND a.s = b.s AND a.id < b.id
+        ),
+        ov AS MATERIALIZED (
+            SELECT c.a, c.b, sa.n AS na, sb.n AS nb,
+                   len(list_intersect(sa.g, sb.g)) AS o
+            FROM cand c JOIN sized sa ON sa.id = c.a JOIN sized sb ON sb.id = c.b
         )
         SELECT a, b, round(o * 1.0 / (na + nb - o), 6) AS jaccard
-        FROM pairs WHERE round(o * 1.0 / (na + nb - o), 6) >= 0.8
+        FROM ov WHERE round(o * 1.0 / (na + nb - o), 6) >= 0.8
     """,
     "dedup_embedding_cosine": """
         WITH e AS MATERIALIZED (

@@ -64,6 +64,11 @@ def wikify(
         F.broadcast(index.select("qnode", "aliases", "class", "embedding")), "qnode"
     )
 
+    # spread before the Arrow string-sim UDFs: upstream AQE coalesces the
+    # capped candidate table to 1-2 partitions, which would serialize the
+    # Python stage; explicit width is preserved
+    n_parts = max(source.sparkSession.sparkContext.defaultParallelism * 2, 16)
+    full = full.repartition(n_parts, F.col("row"))
     f = features.string_similarity_features(full)
     f = features.singleton_feature(f)
     f = features.pick_hc_candidates(f)

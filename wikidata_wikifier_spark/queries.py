@@ -118,6 +118,11 @@ def featured_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "qnode",
     ).join(m.select("row", "context"), "row")
+    # spread before the Arrow string-sim UDFs: upstream AQE coalesces the
+    # capped candidate table to 1-2 partitions, which would serialize the
+    # Python stage; explicit width is preserved
+    n_parts = max(spark.sparkContext.defaultParallelism * 2, 16)
+    full = full.repartition(n_parts, F.col("row"))
     f = features.string_similarity_features(full)
     f = features.singleton_feature(f)
     f = features.pick_hc_candidates(f)
