@@ -49,6 +49,16 @@ def connected_components(
         )
     ).localCheckpoint()
 
+    # Iterative rounds pay per-task overhead every round; size the working
+    # width to the graph, not the session default (a 1k-edge alias graph on
+    # 64 shuffle partitions is ~10 jobs of overhead and no compute). At
+    # cluster scale n_edges drives the width up to 2x parallelism.
+    n_edges = e.count()
+    spark = edges.sparkSession
+    dp = spark.sparkContext.defaultParallelism
+    width = int(max(4, min(dp * 2, n_edges // 50_000 + 4)))
+    e = e.repartition(width, "src")
+
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col(src).cast("string").alias("node")))

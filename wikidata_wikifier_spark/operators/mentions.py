@@ -59,36 +59,62 @@ def _split_ident_words(col: Column) -> Column:
     return c
 
 
+def _lang_hit_array(lang: str) -> "Column":
+    """All of one language's patterns applied in ONE projection: an array
+    of struct<kind,pos,raw> per row (flatten of per-pattern transforms)."""
+    def tagger(kind: str):
+        return lambda x, i: F.struct(
+            F.lit(kind).alias("kind"), i.alias("pos"), x.alias("raw")
+        )
+
+    arrs = [
+        F.transform(
+            F.regexp_extract_all(F.col("content"), F.lit(pattern), 1), tagger(kind)
+        )
+        for kind, pattern in LANG_PATTERNS[lang]
+    ]
+    return F.flatten(F.array(*arrs))
+
+
 def detect_mentions(source: DataFrame) -> DataFrame:
-    """source(repo,path,commit,lang,content) → MENTIONS schema table."""
+    """source(repo,path,commit,lang,content) → MENTIONS schema table.
+
+    ONE pass over content: every pattern for the row's lang is applied in
+    a single projection (a CASE over langs building one hit array), so the
+    100 TB content column is scanned exactly once — the original
+    union-per-pattern formulation re-scanned it len(patterns) times."""
     stamped = source.withColumn("content_sha256", sha256_col(F.col("content")))
 
-    per_lang = []
-    for lang, patterns in LANG_PATTERNS.items():
-        base = stamped.where(F.col("lang") == lang)
-        for kind, pattern in patterns:
-            hits = base.select(
-                "repo",
-                "path",
-                "commit",
-                "lang",
-                "content_sha256",
-                F.lit(kind).alias("kind"),
-                F.posexplode(
-                    F.regexp_extract_all(F.col("content"), F.lit(pattern), 1)
-                ).alias("pos", "raw"),
-            )
-            per_lang.append(hits)
+    langs = sorted(LANG_PATTERNS)
+    ext = F.when(F.col("lang") == langs[0], _lang_hit_array(langs[0]))
+    for lang in langs[1:]:
+        ext = ext.when(F.col("lang") == lang, _lang_hit_array(lang))
+    ext = ext.otherwise(F.array().cast(
+        "array<struct<kind:string,pos:int,raw:string>>"
+    ))
 
-    all_hits = per_lang[0]
-    for h in per_lang[1:]:
-        all_hits = all_hits.unionByName(h)
+    all_hits = stamped.select(
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "content_sha256",
+        F.explode(ext).alias("h"),
+    ).select(
+        "repo", "path", "commit", "lang", "content_sha256",
+        F.col("h.kind").alias("kind"),
+        F.col("h.pos").alias("pos"),
+        F.col("h.raw").alias("raw"),
+    )
 
     cleaned = (
         all_hits.withColumn("label", F.trim(_split_ident_words(F.col("raw"))))
         .withColumn("label_clean", clean_label(F.col("label")))
         .where(F.length("label_clean") >= 3)
         .where(~F.col("label_clean").isin(list(STOP_LABELS)))
+        # detection output feeds two consumers (context aggregation + the
+        # main long table); cut lineage so the content scan runs once
+        .localCheckpoint()
     )
 
     # context = the other mention labels found in the same file (pipe-join),

@@ -40,6 +40,9 @@ def wikify(
     LINKS table (top-k per mention + match flag), sha256 carried through.
     """
     mentions = detect_mentions(source)
+    # mentions feed 4 retrieval strategies + the final join-back; without a
+    # barrier the content scan + regex extraction would re-run ~6x
+    mentions = mentions.localCheckpoint()
     m = mentions.select(
         F.col("mention_id").alias("row"),
         "label_clean",
