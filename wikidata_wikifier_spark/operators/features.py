@@ -166,13 +166,36 @@ def kth_percentile(
     ignore_col: str = "ignore_candidate",
 ) -> DataFrame:
     """kth-percentile (wikifier.py:163-164): flag candidates in the top
-    (1 - 0.75) percent_rank band of score_col, excluding ignored ones."""
-    w = Window.partitionBy(F.col(ignore_col)).orderBy(F.col(score_col))
-    pr = F.percent_rank().over(w)
-    return cands.withColumn(
-        out,
-        F.when((F.col(ignore_col) == 0) & (pr >= KTH_PERCENTILE), 1).otherwise(0),
+    (1 - 0.75) percent_rank band of score_col, excluding ignored ones.
+
+    percent_rank is computed over the DISTINCT-SCORE distribution table
+    (scores are rounded, so it has at most a few thousand rows) and
+    broadcast-joined back: pr = (#rows with smaller score) / (n - 1) —
+    bit-identical to the window definition, but the candidate table never
+    collapses into one sort partition. A naive
+    percent_rank().over(partitionBy(ignore_flag)) serializes the whole
+    table into ≤2 tasks — the measured scaling bottleneck."""
+    dist = cands.groupBy(ignore_col, score_col).agg(F.count("*").alias("c"))
+    w_cum = Window.partitionBy(ignore_col).orderBy(score_col)
+    w_all = Window.partitionBy(ignore_col)
+    dist = (
+        dist.withColumn("below", F.sum("c").over(w_cum) - F.col("c"))
+        .withColumn("n", F.sum("c").over(w_all))
+        .withColumn(
+            "pr",
+            F.when(F.col("n") == 1, F.lit(0.0)).otherwise(
+                F.col("below") / (F.col("n") - 1)
+            ),
+        )
+        .withColumn(
+            out,
+            F.when(
+                (F.col(ignore_col) == 0) & (F.col("pr") >= KTH_PERCENTILE), 1
+            ).otherwise(0),
+        )
+        .select(ignore_col, score_col, out)
     )
+    return cands.join(F.broadcast(dist), [ignore_col, score_col], "left")
 
 
 def pgr_rts(cands: DataFrame) -> DataFrame:
@@ -286,10 +309,21 @@ def create_pseudo_gt(
     out: str = "pseudo_gt",
 ) -> DataFrame:
     """create-pseudo-gt (wikifier.py:184-186): 1 for candidates whose
-    prediction ≥ global mean of the prediction, and filter_col > 0."""
-    w = Window.partitionBy()
-    mean = F.avg(prediction_col).over(w)
-    return cands.withColumn(
-        out,
-        F.when((F.col(prediction_col) >= mean) & (F.col(filter_col) > 0), 1).otherwise(0),
+    prediction ≥ global mean of the prediction, and filter_col > 0.
+
+    The mean is one scalar aggregate broadcast back — never
+    avg().over(Window.partitionBy()), which funnels the whole table
+    through a single task."""
+    stats = cands.agg(F.avg(prediction_col).alias("_pgt_mean"))
+    return (
+        cands.crossJoin(F.broadcast(stats))
+        .withColumn(
+            out,
+            F.when(
+                (F.col(prediction_col) >= F.col("_pgt_mean"))
+                & (F.col(filter_col) > 0),
+                1,
+            ).otherwise(0),
+        )
+        .drop("_pgt_mean")
     )
