@@ -71,10 +71,15 @@ def hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON scalar extraction from the props column (get_json_object —
-    JVM-side JSON path, the reference's context JSONL analogue)."""
+    """JSON scalar extraction from the props column (the reference's
+    context JSONL analogue). The oracle can't run get_json_object, so BOTH
+    sides extract with the identical integer regex — parity holds for
+    negative / fractional / quoted / nested k values instead of depending
+    on the datagen only emitting non-negative integers."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.select(
-        "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("k"),
-    ).where(F.col("k").isNotNull())
+    rx = F.regexp_extract("props", r'"k":\s*(-?\d+)', 1)
+    return (
+        ev.select("event_id", rx.alias("_k"))
+        .where(F.col("_k") != "")
+        .select("event_id", F.col("_k").cast("int").alias("k"))
+    )

@@ -199,9 +199,21 @@ def kth_percentile(
 
 
 def pgr_rts(cands: DataFrame) -> DataFrame:
-    """pagerank × retrieval_score product feature (wikifier.py:167-171)."""
-    return cands.withColumn(
-        "pgr_rts", F.round(F.col("pagerank") * F.col("retrieval_score"), 6)
+    """pagerank × retrieval_score product feature (wikifier.py:167-171).
+
+    Computed in scaled-integer space: both inputs are already 6-dp-rounded,
+    so their product hits exact decimal half-way points (e.g. 0.8586375)
+    where Spark's BigDecimal HALF_UP and a double-based round() disagree by
+    1 ulp. floor(x*1e6 + 0.5) → BIGINT on both engines makes the arithmetic
+    identical integer math; the final /1e12 is one correctly-rounded IEEE
+    division of an exactly-representable integer (< 2^53), so the double is
+    bit-identical everywhere. pgr_rts_micro2 (the exact integer product) is
+    kept for downstream thresholds that must be engine-stable.
+    """
+    m1 = F.floor(F.col("pagerank") * 1e6 + F.lit(0.5)).cast("long")
+    m2 = F.floor(F.col("retrieval_score") * 1e6 + F.lit(0.5)).cast("long")
+    return cands.withColumn("pgr_rts_micro2", m1 * m2).withColumn(
+        "pgr_rts", F.col("pgr_rts_micro2") / F.lit(1.0e12)
     )
 
 
@@ -307,13 +319,39 @@ def create_pseudo_gt(
     prediction_col: str,
     filter_col: str = "smc_class_score",
     out: str = "pseudo_gt",
+    integral: bool = False,
 ) -> DataFrame:
     """create-pseudo-gt (wikifier.py:184-186): 1 for candidates whose
     prediction ≥ global mean of the prediction, and filter_col > 0.
 
     The mean is one scalar aggregate broadcast back — never
     avg().over(Window.partitionBy()), which funnels the whole table
-    through a single task."""
+    through a single task.
+
+    With integral=True the prediction column must be an exact integer
+    (e.g. pgr_rts_micro2) and the mean comparison is done as
+    x * n >= sum(x) in decimal(38,0) arithmetic — no floating-point
+    summation order anywhere, so the boolean is bit-stable across engines
+    and partition orders (a float avg() differs in the last ulp between
+    Spark and any oracle engine when the sum order differs, flipping rows
+    that tie with the mean)."""
+    if integral:
+        stats = cands.agg(
+            F.sum(F.col(prediction_col).cast("decimal(38,0)")).alias("_pgt_tot"),
+            F.count(F.lit(1)).alias("_pgt_n"),
+        )
+        cond = (
+            F.col(prediction_col).cast("decimal(38,0)") * F.col("_pgt_n")
+            >= F.col("_pgt_tot")
+        )
+        return (
+            cands.crossJoin(F.broadcast(stats))
+            .withColumn(
+                out,
+                F.when(cond & (F.col(filter_col) > 0), 1).otherwise(0),
+            )
+            .drop("_pgt_tot", "_pgt_n")
+        )
     stats = cands.agg(F.avg(prediction_col).alias("_pgt_mean"))
     return (
         cands.crossJoin(F.broadcast(stats))

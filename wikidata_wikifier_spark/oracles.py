@@ -252,7 +252,14 @@ f4 AS MATERIALIZED (
     FROM f3
 ),
 f5 AS MATERIALIZED (
-    SELECT *, round(pagerank * retrieval_score, 6) AS pgr_rts FROM f4
+    -- integer-micros product (mirrors operators/features.py::pgr_rts):
+    -- identical integer arithmetic on both engines, then one IEEE division
+    SELECT *,
+           CAST(floor(pagerank * 1e6 + 0.5) AS BIGINT)
+             * CAST(floor(retrieval_score * 1e6 + 0.5) AS BIGINT) AS pgr_rts_micro2,
+           (CAST(floor(pagerank * 1e6 + 0.5) AS BIGINT)
+             * CAST(floor(retrieval_score * 1e6 + 0.5) AS BIGINT)) / 1e12 AS pgr_rts
+    FROM f4
 ),
 {_tfidf_ctes("c", "f5", "class", "kth_percenter")},
 f6 AS MATERIALIZED (SELECT f5.*, coalesce(cw.w, 0.0) AS smc_class_score FROM f5 LEFT JOIN cw USING (class)),
@@ -263,8 +270,12 @@ f8 AS MATERIALIZED (
     FROM f7
 ),
 f9 AS MATERIALIZED (
+    -- x*n >= sum(x) in exact integer space (mirrors create_pseudo_gt
+    -- integral=True): no float summation order at the mean boundary
     SELECT *,
-           CASE WHEN pgr_rts >= avg(pgr_rts) OVER () AND smc_class_score > 0
+           CASE WHEN CAST(pgr_rts_micro2 AS HUGEINT) * count(*) OVER ()
+                     >= sum(CAST(pgr_rts_micro2 AS HUGEINT)) OVER ()
+                 AND smc_class_score > 0
                 THEN 1 ELSE 0 END AS pseudo_gt
     FROM f8
 ),
@@ -748,9 +759,9 @@ ORACLES: dict[str, str] = {
     """,
     "events_json_extract": """
         SELECT event_id,
-               CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INTEGER) AS k
+               CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS INTEGER) AS k
         FROM events
-        WHERE regexp_extract(props, '"k":\\s*(\\d+)', 1) <> ''
+        WHERE regexp_extract(props, '"k":\\s*(-?\\d+)', 1) <> ''
     """,
     "connected_components": """
         WITH RECURSIVE raw_edges AS (

@@ -89,16 +89,18 @@ def q_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------- feature chain
 
-# Candidate tables cached per (session, sf_dir): the driver runs many
+# Candidate tables cached per (application, sf_dir): the driver runs many
 # feature queries against the same base — persist the expensive 4-strategy
 # retrieval union once per session instead of recomputing it per query.
-_FEATURED_CACHE: dict[tuple[int, str], DataFrame] = {}
+# Keyed by applicationId, not id(spark): CPython can reuse a dead session's
+# id() and hand back checkpointed DataFrames bound to a stopped context.
+_FEATURED_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def featured_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate table + the full §2.4 feature chain (shared by the
     feature queries below; every step mirrored in oracles.FEATURE_CTES)."""
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key in _FEATURED_CACHE:
         return _FEATURED_CACHE[key]
     m = cleaned_mentions(spark, sf_dir)
@@ -140,7 +142,15 @@ def featured_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = features.semantic_tfidf(f, "class", "kth_percenter", "smc_class_score")
     f = features.semantic_tfidf(f, "brand", "kth_percenter", "smc_property_score")
     f = features.mosaic_features(f)
-    f = features.create_pseudo_gt(f, "pgr_rts", "smc_class_score", "pseudo_gt")
+    # ANSI-oracle proxy anchoring: the reference anchors create-pseudo-gt on
+    # the pseudo-GT MLP prediction (wikifier.py:184-186) — pipeline.wikify
+    # and q_wikify_end_to_end do exactly that; here the oracle-checked chain
+    # anchors on the exact-integer pgr_rts product instead, because the MLP
+    # forward pass is not ANSI-SQL-expressible and every downstream
+    # oracle-checked feature (centroid, pgt tf-idf) hangs off this boolean.
+    f = features.create_pseudo_gt(
+        f, "pgr_rts_micro2", "smc_class_score", "pseudo_gt", integral=True
+    )
     f = features.context_match_relevant(f)
     f = f.localCheckpoint()
     f = features.embedding_centroid_score(f)
