@@ -1,21 +1,30 @@
 """Candidate generation — the reference's four retrieval strategies as
-broadcast inverted-index joins (SURVEY.md §2.3).
+inverted-index joins (SURVEY.md §2.3).
 
 Reference (wikifier/wikifier.py:81-113) queries Elasticsearch per cell with
 four strategies: get-exact-matches, get-ngram-matches, get-trigram-matches,
-get-fuzzy-augmented-matches, then concatenates and deduplicates per
-(cell, kg_id) recording how many strategies retrieved each candidate
-(num_occurences ∈ 1..4, deduplicate-candidates at wikifier.py:148).
+get-fuzzy-augmented-matches (each optionally restricted by `--isa {Qxxx}`,
+wikifier.py:97-113), then concatenates and deduplicates per (cell, kg_id)
+recording how many strategies retrieved each candidate (num_occurences ∈
+1..4, deduplicate-candidates at wikifier.py:148).
 
 Spark-first re-expression: the per-row HTTP retrieval becomes a set of
-equi-joins against a *broadcast* exploded label/alias index — the
-inverted-index structure ES builds (edge-ngram analyzer, trigram analyzer,
-keyword field) is generated as native column expressions on the index side
-and joined on the generated key. At 100 TB the mention side streams through
-map-side broadcast joins with zero shuffle; only the final per-(mention,
-qnode) aggregation shuffles, keyed by the mention — AQE-coalesced and
-skew-split (head labels like "Ronaldo" are spread because the aggregation
-key includes the row id, not the label).
+equi-joins against an exploded label/alias index — the inverted-index
+structure ES builds (edge-ngram analyzer, trigram analyzer, keyword field)
+is generated as native column expressions on the index side and joined on
+the generated key. Index-side tables are broadcast only when known-small
+(plans/skew.py::size_aware_broadcast): at the real target (~100M labels ×
+~8 grams) they are tens of GB, so the join degrades to a shuffle join with
+AQE skew-splitting + salting instead of OOMing the driver. Only the final
+per-(mention, qnode) aggregation shuffles keyed by the mention — AQE-
+coalesced and skew-immune because the key includes the row id, not the
+label.
+
+generate_candidates computes the two expensive shared intermediates — the
+exploded alias index and the prefix-filtered string-pair scores — ONCE and
+materializes them (localCheckpoint; checkpoint() to reliable storage on a
+real cluster), instead of letting the 4-strategy union re-evaluate them
+2-4×.
 
 All scoring rules here are deterministic and mirrored in the DuckDB oracle
 (oracles.py) for driver verification.
@@ -28,6 +37,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import char_ngrams, edge_ngrams
 from ..functions.strings import clean_label, levenshtein_similarity
+from ..plans.skew import size_aware_broadcast
 
 EDGE_MIN, EDGE_MAX = 3, 10
 TRIGRAM_JACCARD_MIN = 0.5
@@ -59,6 +69,17 @@ def _cap_per_mention(df: DataFrame) -> DataFrame:
 # there, like Elasticsearch's own fuzzy retrieval.
 
 
+def _apply_isa(index: DataFrame, isa: str | None) -> DataFrame:
+    """`--isa {Qxxx}` class restriction (wikifier.py:97-113): the
+    reference appends an instance-of filter to every ES query when the
+    reconcile request carries a type. Filtering the index BEFORE the alias
+    explode prunes the inverted index at the scan, so the restriction is
+    free at 100 TB (predicate pushdown into the index source)."""
+    if isa is None:
+        return index
+    return index.where(F.col("class") == isa)
+
+
 def _alias_index(index: DataFrame) -> DataFrame:
     """Explode (qnode, aliases[]) → (qnode, alias_norm, pagerank, label)."""
     return (
@@ -77,12 +98,22 @@ def _alias_index(index: DataFrame) -> DataFrame:
     )
 
 
-def exact_matches(mentions: DataFrame, index: DataFrame) -> DataFrame:
+def exact_matches(
+    mentions: DataFrame,
+    index: DataFrame,
+    isa: str | None = None,
+    aidx: DataFrame | None = None,
+    idx_rows: int | None = None,
+) -> DataFrame:
     """get-exact-matches (wikifier.py:91-93): label_clean == normalized
-    label/alias. Broadcast hash equi-join, score 1.0."""
-    idx = _alias_index(index).select("qnode", "kg_label_src", "pagerank", "alias_norm")
+    label/alias. Hash equi-join (broadcast when the index is small),
+    score 1.0."""
+    aidx = aidx if aidx is not None else _alias_index(_apply_isa(index, isa))
+    idx = aidx.select("qnode", "kg_label_src", "pagerank", "alias_norm")
     joined = mentions.join(
-        F.broadcast(idx), mentions["label_clean"] == idx["alias_norm"], "inner"
+        size_aware_broadcast(idx, idx_rows),
+        mentions["label_clean"] == idx["alias_norm"],
+        "inner",
     )
     return (
         joined.groupBy("row", "label_clean", "qnode")
@@ -103,29 +134,38 @@ def exact_matches(mentions: DataFrame, index: DataFrame) -> DataFrame:
     )
 
 
-def ngram_matches(mentions: DataFrame, index: DataFrame) -> DataFrame:
+def ngram_matches(
+    mentions: DataFrame,
+    index: DataFrame,
+    isa: str | None = None,
+    aidx: DataFrame | None = None,
+    idx_rows: int | None = None,
+) -> DataFrame:
     """get-ngram-matches (wikifier.py:85-87): ES edge-ngram analyzer →
     index aliases exploded into prefixes (len 3..10); the mention matches
     on its leading min(10, len) characters. Score = matched-prefix length /
     alias length (longer aliases score lower, BM25-flavored), max over
     aliases."""
-    idx = (
-        _alias_index(index)
-        .select(
-            "qnode",
-            "kg_label_src",
-            "pagerank",
-            "alias_norm",
-            F.explode(edge_ngrams(F.col("alias_norm"), EDGE_MIN, EDGE_MAX)).alias(
-                "prefix"
-            ),
-        )
+    aidx = aidx if aidx is not None else _alias_index(_apply_isa(index, isa))
+    idx = aidx.select(
+        "qnode",
+        "kg_label_src",
+        "pagerank",
+        "alias_norm",
+        F.explode(edge_ngrams(F.col("alias_norm"), EDGE_MIN, EDGE_MAX)).alias(
+            "prefix"
+        ),
     )
     key = F.substring(
         F.col("label_clean"), 1, F.least(F.length("label_clean"), F.lit(EDGE_MAX)).cast("int")
     )
     m = mentions.withColumn("mkey", key).where(F.length("mkey") >= EDGE_MIN)
-    joined = m.join(F.broadcast(idx), m["mkey"] == idx["prefix"], "inner")
+    # the exploded prefix table is ~8x the alias index
+    joined = m.join(
+        size_aware_broadcast(idx, None if idx_rows is None else idx_rows * 8),
+        m["mkey"] == idx["prefix"],
+        "inner",
+    )
     score = F.length("prefix") / F.length("alias_norm")
     return (
         joined.withColumn("score", score)
@@ -148,14 +188,8 @@ def ngram_matches(mentions: DataFrame, index: DataFrame) -> DataFrame:
     )
 
 
-def _gram_side(df: DataFrame, col: str, out: str) -> Column:
-    return F.explode(F.array_distinct(char_ngrams(F.col(col), 3))).alias(out)
-
-
 def _prefix(df: DataFrame, part_cols: list[str], n_col: str) -> DataFrame:
     """Keep each string's floor(n/2)+1 rarest grams (order: gdf, gram)."""
-    from pyspark.sql import Window
-
     w = Window.partitionBy(*part_cols).orderBy("gdf", "gram")
     limit = F.floor(F.col(n_col) / 2) + 1
     return (
@@ -165,7 +199,12 @@ def _prefix(df: DataFrame, part_cols: list[str], n_col: str) -> DataFrame:
     )
 
 
-def _scored_string_pairs(mentions: DataFrame, index: DataFrame) -> DataFrame:
+def _scored_string_pairs(
+    mentions: DataFrame,
+    index: DataFrame,
+    aidx: DataFrame | None = None,
+    idx_rows: int | None = None,
+) -> DataFrame:
     """STRING-level candidate scoring: (label_clean, alias_norm, jaccard,
     lev_sim) over DISTINCT strings only.
 
@@ -176,9 +215,9 @@ def _scored_string_pairs(mentions: DataFrame, index: DataFrame) -> DataFrame:
     (measured: 33.7M pairs at sf0.1 vs ~100k distinct string pairs).
     The per-qnode fan-out happens only AFTER the similarity threshold,
     and is immediately capped per mention."""
+    aidx = aidx if aidx is not None else _alias_index(index)
     a_str = (
-        _alias_index(index)
-        .select("alias_norm")
+        aidx.select("alias_norm")
         .distinct()
         .withColumn("ag", F.array_distinct(char_ngrams(F.col("alias_norm"), 3)))
         .withColumn("n_a", F.size("ag"))
@@ -194,25 +233,33 @@ def _scored_string_pairs(mentions: DataFrame, index: DataFrame) -> DataFrame:
     gram_df = a_str.select(F.explode("ag").alias("gram")).groupBy("gram").agg(
         F.count("*").alias("gdf")
     )
+    # gram_df has one row per distinct trigram — tiny relative to the
+    # alias table (bounded by alphabet³ per language), safe to hint small
     a_grams = a_str.select("alias_norm", "n_a", F.explode("ag").alias("gram")).join(
-        F.broadcast(gram_df), "gram"
+        size_aware_broadcast(gram_df, idx_rows), "gram"
     )
     a_pre = _prefix(a_grams, ["alias_norm"], "n_a")
     m_grams = (
         m_str.select("label_clean", "n_m", F.explode("mg").alias("gram"))
-        .join(F.broadcast(gram_df), "gram", "left")
+        .join(size_aware_broadcast(gram_df, idx_rows), "gram", "left")
         .na.fill({"gdf": 0})
     )
     m_pre = _prefix(m_grams, ["label_clean"], "n_m")
 
     pairs = (
-        m_pre.join(F.broadcast(a_pre), "gram", "inner")
+        m_pre.join(size_aware_broadcast(a_pre, idx_rows), "gram", "inner")
         .select("label_clean", "alias_norm")
         .distinct()
     )
     return (
-        pairs.join(F.broadcast(m_str.select("label_clean", "mg", "n_m")), "label_clean")
-        .join(F.broadcast(a_str.select("alias_norm", "ag", "n_a")), "alias_norm")
+        pairs.join(
+            size_aware_broadcast(m_str.select("label_clean", "mg", "n_m"), idx_rows),
+            "label_clean",
+        )
+        .join(
+            size_aware_broadcast(a_str.select("alias_norm", "ag", "n_a"), idx_rows),
+            "alias_norm",
+        )
         .withColumn("overlap", F.size(F.array_intersect("mg", "ag")))
         .withColumn(
             "jaccard",
@@ -223,36 +270,52 @@ def _scored_string_pairs(mentions: DataFrame, index: DataFrame) -> DataFrame:
     )
 
 
-def trigram_matches(mentions: DataFrame, index: DataFrame) -> DataFrame:
+def trigram_matches(
+    mentions: DataFrame,
+    index: DataFrame,
+    isa: str | None = None,
+    aidx: DataFrame | None = None,
+    spairs: DataFrame | None = None,
+    idx_rows: int | None = None,
+) -> DataFrame:
     """get-trigram-matches (wikifier.py:88-90): char-3gram overlap with
     Jaccard ≥ 0.5 against any alias; score = best Jaccard.
 
     Plan: string-level prefix-filtered scoring, threshold, then fan out
     to (mention, qnode) and cap — see _scored_string_pairs."""
+    aidx = aidx if aidx is not None else _alias_index(_apply_isa(index, isa))
+    spairs = (
+        spairs
+        if spairs is not None
+        else _scored_string_pairs(mentions, index, aidx=aidx, idx_rows=idx_rows)
+    )
     return _expand_string_matches(
         mentions,
-        index,
-        _scored_string_pairs(mentions, index)
-        .where(F.col("jaccard") >= TRIGRAM_JACCARD_MIN)
-        .select("label_clean", "alias_norm", F.col("jaccard").alias("score")),
+        aidx,
+        spairs.where(F.col("jaccard") >= TRIGRAM_JACCARD_MIN).select(
+            "label_clean", "alias_norm", F.col("jaccard").alias("score")
+        ),
         "trigram",
+        idx_rows=idx_rows,
     )
 
 
 def _expand_string_matches(
-    mentions: DataFrame, index: DataFrame, str_matches: DataFrame, method: str
+    mentions: DataFrame,
+    aidx: DataFrame,
+    str_matches: DataFrame,
+    method: str,
+    idx_rows: int | None = None,
 ) -> DataFrame:
     """(label_clean, alias_norm, score) string matches → per-(mention,
     qnode) candidates with max-over-aliases score, capped per mention."""
-    aliases = _alias_index(index).select(
-        "qnode", "kg_label_src", "pagerank", "alias_norm"
-    )
+    aliases = aidx.select("qnode", "kg_label_src", "pagerank", "alias_norm")
     n_parts = max(mentions.sparkSession.sparkContext.defaultParallelism * 2, 16)
     expanded = (
         mentions.select("row", "label_clean")
         .repartition(n_parts, F.col("row"))
-        .join(F.broadcast(str_matches), "label_clean")
-        .join(F.broadcast(aliases), "alias_norm")
+        .join(size_aware_broadcast(str_matches, idx_rows), "label_clean")
+        .join(size_aware_broadcast(aliases, idx_rows), "alias_norm")
     )
     return (
         expanded.groupBy("row", "label_clean", "qnode")
@@ -274,33 +337,153 @@ def _expand_string_matches(
     )
 
 
-def fuzzy_matches(mentions: DataFrame, index: DataFrame) -> DataFrame:
+def fuzzy_matches(
+    mentions: DataFrame,
+    index: DataFrame,
+    isa: str | None = None,
+    aidx: DataFrame | None = None,
+    spairs: DataFrame | None = None,
+    idx_rows: int | None = None,
+) -> DataFrame:
     """get-fuzzy-augmented-matches (wikifier.py:82-84): edit-distance
     tolerant retrieval. Plan: string-level prefix-filtered candidate
     pairs, NATIVE levenshtein verification >= 0.7 (whole-stage codegen),
     then fan-out + per-mention cap — see _scored_string_pairs."""
+    aidx = aidx if aidx is not None else _alias_index(_apply_isa(index, isa))
+    spairs = (
+        spairs
+        if spairs is not None
+        else _scored_string_pairs(mentions, index, aidx=aidx, idx_rows=idx_rows)
+    )
     return _expand_string_matches(
         mentions,
-        index,
-        _scored_string_pairs(mentions, index)
-        .where(F.col("lev_sim") >= FUZZY_SIM_MIN)
-        .select("label_clean", "alias_norm", F.col("lev_sim").alias("score")),
+        aidx,
+        spairs.where(F.col("lev_sim") >= FUZZY_SIM_MIN).select(
+            "label_clean", "alias_norm", F.col("lev_sim").alias("score")
+        ),
         "fuzzy",
+        idx_rows=idx_rows,
     )
 
 
-def generate_candidates(mentions: DataFrame, index: DataFrame) -> DataFrame:
+def generate_candidates(
+    mentions: DataFrame, index: DataFrame, isa: str | None = None
+) -> DataFrame:
     """Union of the four strategies + deduplicate-candidates
     (wikifier.py:148): per (row, qnode) keep max retrieval_score and count
-    distinct retrieving strategies as num_occurences (1..4)."""
-    unioned = (
-        exact_matches(mentions, index)
-        .unionByName(ngram_matches(mentions, index))
-        .unionByName(trigram_matches(mentions, index))
-        .unionByName(fuzzy_matches(mentions, index))
+    distinct retrieving strategies as num_occurences (1..4).
+
+    Fused plan — semantically identical to running the four standalone
+    strategy functions and unioning, but with a fraction of the stages:
+
+    1. The exploded alias index (used by all strategies) and the
+       prefix-filtered string-pair scores (used by trigram AND fuzzy) are
+       computed ONCE and materialized with localCheckpoint — Spark shares
+       nothing between branches of a union, so without the barrier those
+       jobs re-run per strategy. On a multi-executor cluster this becomes
+       checkpoint()/persist(DISK) to survive executor loss (the engine's
+       resume story, plans/checkpoint.py).
+    2. The trigram and fuzzy thresholds are applied to the SAME
+       string-match table and expanded to (mention, qnode) through ONE
+       mention⨝pairs⨝alias join instead of two.
+    3. Per-strategy aggregation (max score over aliases), the per-strategy
+       ES-style result cap, and final dedup run as one groupBy(+method) →
+       one window(row, method) → one groupBy: 3 row-keyed shuffles total
+       where the naive union needs ~9. Each standalone strategy function
+       applies the identical groupBy/QUALIFY pipeline, so the DuckDB
+       oracles for the per-strategy queries also pin this path's
+       semantics."""
+    idx = _apply_isa(index, isa)
+    aidx = _alias_index(idx).localCheckpoint()
+    idx_rows = aidx.count()  # exact size → size-aware broadcast decisions
+    spairs = _scored_string_pairs(
+        mentions, idx, aidx=aidx, idx_rows=idx_rows
+    ).localCheckpoint()
+
+    aliases = aidx.select("qnode", "kg_label_src", "pagerank", "alias_norm")
+
+    # exact: label_clean == alias_norm equality join, score 1.0
+    exact_raw = mentions.select("row", "label_clean").join(
+        size_aware_broadcast(aliases, idx_rows),
+        F.col("label_clean") == F.col("alias_norm"),
+        "inner",
+    ).select(
+        "row", "label_clean", "qnode", "kg_label_src", "pagerank",
+        F.lit("exact").alias("method"), F.lit(1.0).alias("score"),
+    )
+
+    # ngram: leading min(10, len) chars vs exploded edge-ngram prefixes
+    pidx = aliases.select(
+        "qnode", "kg_label_src", "pagerank", "alias_norm",
+        F.explode(edge_ngrams(F.col("alias_norm"), EDGE_MIN, EDGE_MAX)).alias("prefix"),
+    )
+    mkey = F.substring(
+        F.col("label_clean"), 1,
+        F.least(F.length("label_clean"), F.lit(EDGE_MAX)).cast("int"),
+    )
+    ngram_raw = (
+        mentions.select("row", "label_clean")
+        .withColumn("mkey", mkey)
+        .where(F.length("mkey") >= EDGE_MIN)
+        .join(
+            size_aware_broadcast(pidx, None if idx_rows is None else idx_rows * 8),
+            F.col("mkey") == F.col("prefix"),
+            "inner",
+        )
+        .select(
+            "row", "label_clean", "qnode", "kg_label_src", "pagerank",
+            F.lit("ngram").alias("method"),
+            (F.length("prefix") / F.length("alias_norm")).alias("score"),
+        )
+    )
+
+    # trigram + fuzzy: both thresholds over the same scored string pairs,
+    # expanded through one join pass
+    str_m = spairs.select(
+        "label_clean", "alias_norm",
+        F.when(F.col("jaccard") >= TRIGRAM_JACCARD_MIN, F.col("jaccard")).alias("tri"),
+        F.when(F.col("lev_sim") >= FUZZY_SIM_MIN, F.col("lev_sim")).alias("fuz"),
+    ).where(F.col("tri").isNotNull() | F.col("fuz").isNotNull())
+    n_parts = max(mentions.sparkSession.sparkContext.defaultParallelism * 2, 16)
+    expanded = (
+        mentions.select("row", "label_clean")
+        .repartition(n_parts, F.col("row"))
+        .join(size_aware_broadcast(str_m, idx_rows), "label_clean")
+        .join(size_aware_broadcast(aliases, idx_rows), "alias_norm")
+        .select(
+            "row", "label_clean", "qnode", "kg_label_src", "pagerank",
+            F.explode(
+                F.filter(
+                    F.array(
+                        F.struct(F.lit("trigram").alias("method"), F.col("tri").alias("score")),
+                        F.struct(F.lit("fuzzy").alias("method"), F.col("fuz").alias("score")),
+                    ),
+                    lambda s: s["score"].isNotNull(),
+                )
+            ).alias("ms"),
+        )
+        .select(
+            "row", "label_clean", "qnode", "kg_label_src", "pagerank",
+            F.col("ms.method").alias("method"), F.col("ms.score").alias("score"),
+        )
+    )
+
+    raw = exact_raw.unionByName(ngram_raw).unionByName(expanded)
+    per_strategy = raw.groupBy("row", "label_clean", "qnode", "method").agg(
+        F.first("kg_label_src").alias("kg_label"),
+        F.first("pagerank").alias("pagerank"),
+        F.round(F.max("score"), 6).alias("retrieval_score"),
+    )
+    w = Window.partitionBy("row", "method").orderBy(
+        F.desc("retrieval_score"), F.asc("qnode")
+    )
+    capped = (
+        per_strategy.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= TOP_N_PER_STRATEGY)
+        .drop("_rn")
     )
     return (
-        unioned.groupBy("row", "label_clean", "qnode")
+        capped.groupBy("row", "label_clean", "qnode")
         .agg(
             F.first("kg_label").alias("kg_label"),
             F.max("pagerank").alias("pagerank"),

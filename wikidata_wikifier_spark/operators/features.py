@@ -28,35 +28,70 @@ from ..functions.strings import (
     monge_elkan_max_over_aliases_udf,
     symmetric_monge_elkan_udf,
 )
+from ..plans.skew import size_aware_broadcast
 
 CONTEXT_STRING_SIM_MIN = 0.85   # wikifier.py:161 --similarity-string-threshold
 CONTEXT_QUANTITY_MIN = 0.9      # wikifier.py:161 --similarity-quantity-threshold
 KTH_PERCENTILE = 0.75           # wikifier.py:163 --k-percentile
 HC_SIM_MIN = 0.9                # pick-hc-candidates near-exact rule [ext]
+STRING_SIM_FLOOR = 0.5          # wikifier.py:149-154 --threshold 0.5
 
 
-def string_similarity_features(cands: DataFrame) -> DataFrame:
+def _floor_sim(col: Column) -> Column:
+    """`--threshold 0.5` (wikifier.py:149-154): similarities below the
+    floor are ignored (reported as 0)."""
+    return F.when(col >= STRING_SIM_FLOOR, col).otherwise(F.lit(0.0))
+
+
+def string_similarity_features(
+    cands: DataFrame, alias_dim: DataFrame | None = None
+) -> DataFrame:
     """monge_elkan / monge_elkan_aliases / jaro_winkler / levenshtein
-    (wikifier.py:149-154). Expects columns label_clean, kg_label, aliases."""
-    return (
-        cands.withColumn(
-            "monge_elkan",
-            F.round(symmetric_monge_elkan_udf(F.col("label_clean"), F.col("kg_label")), 6),
+    (wikifier.py:149-154), all floored at 0.5 per `--threshold`.
+
+    The UDF-backed similarities depend ONLY on (label_clean, qnode): they
+    are computed on the DISTINCT pair table — bounded by vocabulary ×
+    candidates-per-label, i.e. thousands of rows where the candidate table
+    has millions — then joined back. This removes the full-table Arrow
+    exchange entirely (measured: the former #1 cost of the pipeline) and
+    turns the Python stage into a constant-size side computation at any
+    corpus scale. levenshtein stays a native JVM expression on the main
+    table (whole-stage codegen, free).
+
+    alias_dim: optional (qnode, aliases) dimension; when given, the
+    aliases array never has to be carried on the candidate table at all.
+    """
+    key = ["label_clean", "qnode"]
+    if alias_dim is not None:
+        pairs = (
+            cands.select("label_clean", "qnode", "kg_label")
+            .distinct()
+            .join(size_aware_broadcast(alias_dim, None), "qnode")
         )
-        .withColumn(
-            "monge_elkan_aliases",
+    else:
+        pairs = cands.groupBy(*key).agg(
+            F.first("kg_label").alias("kg_label"),
+            F.first("aliases").alias("aliases"),
+        )
+    pairs = pairs.select(
+        *key,
+        _floor_sim(
+            F.round(symmetric_monge_elkan_udf(F.col("label_clean"), F.col("kg_label")), 6)
+        ).alias("monge_elkan"),
+        _floor_sim(
             F.round(
                 monge_elkan_max_over_aliases_udf(F.col("label_clean"), F.col("aliases")), 6
-            ),
-        )
-        .withColumn(
-            "jaro_winkler",
-            F.round(jaro_winkler_udf(F.col("label_clean"), F.col("kg_label")), 6),
-        )
-        .withColumn(
-            "levenshtein",
-            F.round(levenshtein_similarity(F.col("label_clean"), F.col("kg_label")), 6),
-        )
+            )
+        ).alias("monge_elkan_aliases"),
+        _floor_sim(
+            F.round(jaro_winkler_udf(F.col("label_clean"), F.col("kg_label")), 6)
+        ).alias("jaro_winkler"),
+    )
+    return cands.join(size_aware_broadcast(pairs, None), key, "inner").withColumn(
+        "levenshtein",
+        _floor_sim(
+            F.round(levenshtein_similarity(F.col("label_clean"), F.col("kg_label")), 6)
+        ),
     )
 
 
@@ -273,31 +308,49 @@ def mosaic_features(cands: DataFrame, col: str = "kg_label") -> DataFrame:
 
 def embedding_centroid_score(
     cands: DataFrame,
+    emb_dim: DataFrame | None = None,
     anchor_col: str = "pseudo_gt",
     emb_col: str = "embedding",
     out: str = "pgt_centroid_score",
-    key_cols: list[str] | None = None,
 ) -> DataFrame:
     """score-using-embedding --column-vector-strategy centroid
     (wikifier.py:191-195), LOF-free variant: centroid of anchor-candidate
     embeddings, then cosine(candidate, centroid).
 
-    Fully native: posexplode → per-dimension avg (a ~dim-row aggregate,
-    broadcast back) → sum-product cosine. Centroid components are rounded
-    to 6 decimals before the cosine so the score is reproducible across
-    engines and partition orders. See embedding_centroid_lof_score for
-    the LOF-outlier-dropping variant (applyInPandas)."""
-    key_cols = key_cols or ["row", "qnode"]
-    centroid = (
-        cands.where(F.col(anchor_col) == 1)
-        .select(F.posexplode(emb_col).alias("i", "v"))
-        .groupBy("i")
-        .agg(F.round(F.avg("v"), 6).alias("c"))
+    cosine(candidate, centroid) depends ONLY on the qnode, so the explode/
+    dot-product runs over the DISTINCT-qnode table (entity-count rows, not
+    candidate-count — the former full-table posexplode was candidates×dim
+    rows, the current one is |entities|×dim). The anchor centroid keeps
+    row multiplicity via per-qnode anchor counts (one tiny partial-agg
+    shuffle). Centroid components are rounded to 6 decimals before the
+    cosine so the score is reproducible across engines and partition
+    orders. See embedding_centroid_lof_score for the LOF-outlier-dropping
+    variant.
+
+    emb_dim: optional (qnode, embedding) dimension; when given, the
+    embedding array never has to be carried on the candidate table."""
+    if emb_dim is None:
+        emb_dim = cands.groupBy("qnode").agg(F.first(emb_col).alias(emb_col))
+    anchor_counts = (
+        cands.where(F.col(anchor_col) == 1).groupBy("qnode").agg(F.count("*").alias("w"))
     )
-    expl = cands.select(*key_cols, F.posexplode(emb_col).alias("i", "v"))
-    sums = (
-        expl.join(F.broadcast(centroid), "i")
-        .groupBy(*key_cols)
+    a_emb = anchor_counts.join(size_aware_broadcast(emb_dim, None), "qnode")
+    centroid = (
+        a_emb.select("w", F.posexplode(emb_col).alias("i", "v"))
+        .groupBy("i")
+        .agg(
+            F.round(F.sum(F.col("v") * F.col("w")) / F.sum("w"), 6).alias("c")
+        )
+    )
+    qn = (
+        cands.select("qnode")
+        .distinct()
+        .join(size_aware_broadcast(emb_dim, None), "qnode")
+        .select("qnode", F.posexplode(emb_col).alias("i", "v"))
+    )
+    scores = (
+        qn.join(F.broadcast(centroid), "i")
+        .groupBy("qnode")
         .agg(
             F.sum(F.col("v") * F.col("c")).alias("dot"),
             F.sum(F.col("v") * F.col("v")).alias("nv"),
@@ -309,9 +362,11 @@ def embedding_centroid_score(
                 F.round(F.col("dot") / (F.sqrt("nv") * F.sqrt("nc")), 6)
             ),
         )
-        .select(*key_cols, out)
+        .select("qnode", out)
     )
-    return cands.join(sums, key_cols, "left")
+    return cands.join(size_aware_broadcast(scores, None), "qnode", "left").na.fill(
+        {out: 0.0}
+    )
 
 
 def create_pseudo_gt(

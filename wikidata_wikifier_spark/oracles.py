@@ -11,7 +11,7 @@ from __future__ import annotations
 # clean_label (functions/strings.py): lower → non-alnum runs → space → trim
 CLEAN = "trim(regexp_replace(lower({col}), '[^a-z0-9]+', ' ', 'g'))"
 
-LINKING_CTES = """
+LINKING_TEMPLATE = """
 WITH entity_index AS (
     SELECT p_partkey                                        AS pkey,
            'Q' || CAST(p_partkey AS VARCHAR)                AS qnode,
@@ -25,7 +25,7 @@ WITH entity_index AS (
            p_size                                           AS size,
            [CAST((p_partkey * (d + 13)) % 97 AS DOUBLE) / 97.0
             for d in generate_series(0, 7)]                 AS embedding
-    FROM part
+    FROM part {isa_where}
 ),
 mentions AS (
     SELECT p_partkey                                        AS row,
@@ -157,6 +157,18 @@ all_candidates AS MATERIALIZED (
 """
 
 
+def linking_ctes(isa: str | None = None) -> str:
+    """Linking CTE chain, optionally with the --isa class restriction
+    (mirrors operators/candidates.py::_apply_isa: index filtered BEFORE
+    the alias explode, so gram document frequencies and prefix filtering
+    see only the restricted class)."""
+    where = f"WHERE lower(p_type) = '{isa}'" if isa else ""
+    return LINKING_TEMPLATE.format(isa_where=where)
+
+
+LINKING_CTES = linking_ctes()
+
+
 def _sym_me(a: str, b: str) -> str:
     """Symmetric Monge-Elkan in DuckDB list-comprehension SQL, mirroring
     functions/strings.py::symmetric_monge_elkan (inner sim jaro-winkler)."""
@@ -173,6 +185,12 @@ def _lev_sim(a: str, b: str) -> str:
         f"CASE WHEN greatest(length({a}), length({b})) = 0 THEN 1.0"
         f" ELSE 1.0 - levenshtein({a}, {b}) * 1.0 / greatest(length({a}), length({b})) END"
     )
+
+
+def _floor05(expr: str) -> str:
+    """string-similarity --threshold 0.5 floor (wikifier.py:149-154),
+    mirror of operators/features.py::_floor_sim (applied AFTER rounding)."""
+    return f"CASE WHEN {expr} >= 0.5 THEN {expr} ELSE 0.0 END"
 
 
 def _tfidf_ctes(prefix: str, src: str, feature: str, anchor: str) -> str:
@@ -211,11 +229,11 @@ fullc AS MATERIALIZED (
 ),
 sf AS MATERIALIZED (
     SELECT *,
-           round({_sym_me("label_clean", "kg_label")}, 6) AS monge_elkan,
-           round(list_max([{_sym_me("label_clean", "al")} for al in aliases]), 6)
+           {_floor05(f'round({_sym_me("label_clean", "kg_label")}, 6)')} AS monge_elkan,
+           {_floor05(f'round(list_max([{_sym_me("label_clean", "al")} for al in aliases]), 6)')}
                                                           AS monge_elkan_aliases,
-           round(jaro_winkler_similarity(label_clean, kg_label), 6) AS jaro_winkler,
-           round({_lev_sim("label_clean", "kg_label")}, 6) AS levenshtein
+           {_floor05('round(jaro_winkler_similarity(label_clean, kg_label), 6)')} AS jaro_winkler,
+           {_floor05(f'round({_lev_sim("label_clean", "kg_label")}, 6)')} AS levenshtein
     FROM fullc
 ),
 f1 AS MATERIALIZED (
@@ -454,6 +472,13 @@ ORACLES: dict[str, str] = {
     "retrieval_trigram": LINKING_CTES
     + "SELECT row, label_clean, qnode, kg_label, pagerank, method, retrieval_score FROM trigram_m",
     "retrieval_fuzzy": LINKING_CTES
+    + "SELECT row, label_clean, qnode, kg_label, pagerank, method, retrieval_score FROM fuzzy_m",
+    # --isa class restriction (wikifier.py:97-113): same chains over the
+    # class-filtered index; 'standard' is one of the six pinned p_type
+    # classes so the query is non-empty at every SF
+    "retrieval_exact_isa": linking_ctes("standard")
+    + "SELECT row, label_clean, qnode, kg_label, pagerank, method, retrieval_score FROM exact_m",
+    "retrieval_fuzzy_isa": linking_ctes("standard")
     + "SELECT row, label_clean, qnode, kg_label, pagerank, method, retrieval_score FROM fuzzy_m",
     "candidates_dedup": LINKING_CTES
     + """

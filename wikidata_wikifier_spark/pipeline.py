@@ -63,16 +63,20 @@ def wikify(
         F.round("retrieval_score", 6).alias("retrieval_score"),
         "num_occurences",
     )
-    full = cands.join(
-        F.broadcast(index.select("qnode", "aliases", "class", "embedding")), "qnode"
-    )
+    # only per-qnode SCALARS ride on the candidate table; aliases/embedding
+    # arrays stay in dimension tables joined where actually needed
+    full = cands.join(F.broadcast(index.select("qnode", "class")), "qnode")
 
-    # spread before the Arrow string-sim UDFs: upstream AQE coalesces the
-    # capped candidate table to 1-2 partitions, which would serialize the
-    # Python stage; explicit width is preserved
+    # spread before the feature stages: upstream AQE coalesces the capped
+    # candidate table to 1-2 partitions, which would serialize them.
+    # localCheckpoint: string_similarity_features reads its input twice
+    # (distinct-pair side + join-back side) — without the barrier the whole
+    # candidate generation runs 2×.
     n_parts = max(source.sparkSession.sparkContext.defaultParallelism * 2, 16)
-    full = full.repartition(n_parts, F.col("row"))
-    f = features.string_similarity_features(full)
+    full = full.repartition(n_parts, F.col("row")).localCheckpoint()
+    f = features.string_similarity_features(
+        full, alias_dim=index.select("qnode", "aliases")
+    )
     f = features.singleton_feature(f)
     f = features.pick_hc_candidates(f)
     # code mentions have no tabular row context → context scores are 0;
@@ -80,8 +84,12 @@ def wikify(
     f = f.withColumn("context_score", F.lit(0.0)).withColumn(
         "context_score_3", F.lit(0.0)
     )
-    f = features.kth_percentile(f, score_col="best_str_sim")
     f = features.pgr_rts(f)
+    # barrier BEFORE kth_percentile: it references its input twice
+    # (distribution table + join-back) and would re-run candidate
+    # generation + string sims 2× without the cut
+    f = f.localCheckpoint()
+    f = features.kth_percentile(f, score_col="best_str_sim")
     f = f.localCheckpoint()
     f = features.semantic_tfidf(f, "class", "kth_percenter", "smc_class_score")
     f = f.withColumn("smc_property_score", F.col("smc_class_score"))
@@ -95,7 +103,9 @@ def wikify(
     )
     f = features.create_pseudo_gt(f, "pseudo_gt_prediction", "smc_class_score")
     f = f.localCheckpoint()
-    f = features.embedding_centroid_score(f)
+    f = features.embedding_centroid_score(
+        f, emb_dim=index.select("qnode", "embedding")
+    )
     f = features.semantic_tfidf(f, "class", "pseudo_gt", "pgt_class_count_tf_idf_score")
     f = f.withColumn(
         "pgt_property_count_tf_idf_score", F.col("pgt_class_count_tf_idf_score")

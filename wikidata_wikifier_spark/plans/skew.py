@@ -39,6 +39,33 @@ def salted_join(
     return out.drop("_salt")
 
 
+# Above this many rows the exploded index-side tables (aliases, edge-ngram
+# prefixes, gram prefixes) stop fitting a driver/executor broadcast at the
+# real target (Wikidata: ~100M labels × ~8 grams each is tens of GB) — the
+# join must shuffle instead, with salting for head keys.
+BROADCAST_MAX_ROWS = 5_000_000
+
+
+def size_aware_broadcast(df: DataFrame, n_rows_hint: int | None = None) -> DataFrame:
+    """Broadcast-hint `df` only when it is known-small AND broadcasting is
+    not disabled session-wide.
+
+    An unconditional F.broadcast() overrides
+    spark.sql.autoBroadcastJoinThreshold=-1 and OOMs the driver once the
+    side outgrows memory; returning the bare df instead leaves the
+    decision to AQE, which promotes to broadcast at runtime from the
+    actual shuffle stats (and demotes when the side is huge)."""
+    try:
+        thr = df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        if str(thr).strip() in ("-1", "-1b"):
+            return df
+    except Exception:
+        pass
+    if n_rows_hint is not None and n_rows_hint > BROADCAST_MAX_ROWS:
+        return df
+    return F.broadcast(df)
+
+
 def top_hot_keys(df: DataFrame, key: str, top_n: int = 100) -> DataFrame:
     """Identify head keys worth salting (driver-side decision input)."""
     return df.groupBy(key).count().orderBy(F.desc("count")).limit(top_n)

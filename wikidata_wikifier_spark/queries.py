@@ -71,6 +71,24 @@ def q_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --isa class restriction (wikifier.py:97-113): every OpenRefine reconcile
+# request with a `type` passes --isa to all four strategies. 'standard' is
+# one of the six pinned p_type classes in the fixture.
+ISA_CLASS = "standard"
+
+
+def q_exact_isa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return candidates.exact_matches(
+        cleaned_mentions(spark, sf_dir), entity_index(spark, sf_dir), isa=ISA_CLASS
+    )
+
+
+def q_fuzzy_isa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return candidates.fuzzy_matches(
+        cleaned_mentions(spark, sf_dir), entity_index(spark, sf_dir), isa=ISA_CLASS
+    )
+
+
 def q_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = candidates.generate_candidates(
         cleaned_mentions(spark, sf_dir), entity_index(spark, sf_dir)
@@ -114,30 +132,39 @@ def featured_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("retrieval_score", 6).alias("retrieval_score"),
         "num_occurences",
     )
+    # only per-qnode SCALARS ride on the candidate table; the aliases and
+    # embedding ARRAYS stay in dimension tables joined where needed — they
+    # would otherwise be carried through every shuffle and checkpoint
     full = c.join(
-        F.broadcast(
-            idx.select("qnode", "aliases", "class", "brand", "size", "embedding")
-        ),
-        "qnode",
+        F.broadcast(idx.select("qnode", "class", "brand", "size")), "qnode"
     ).join(m.select("row", "context"), "row")
-    # spread before the Arrow string-sim UDFs: upstream AQE coalesces the
-    # capped candidate table to 1-2 partitions, which would serialize the
-    # Python stage; explicit width is preserved
+    # spread before the feature stages: upstream AQE coalesces the capped
+    # candidate table to 1-2 partitions, which would serialize them.
+    # localCheckpoint: string_similarity_features reads its input twice
+    # (distinct-pair side + join-back side) — without the barrier the whole
+    # candidate generation runs 2×.
     n_parts = max(spark.sparkContext.defaultParallelism * 2, 16)
-    full = full.repartition(n_parts, F.col("row"))
-    f = features.string_similarity_features(full)
+    full = full.repartition(n_parts, F.col("row")).localCheckpoint()
+    f = features.string_similarity_features(
+        full, alias_dim=idx.select("qnode", "aliases")
+    )
     f = features.singleton_feature(f)
     f = features.pick_hc_candidates(f)
     f = features.context_match(f)
-    f = features.kth_percentile(f)
     f = features.pgr_rts(f)
-    # Cut lineage before the aggregate fan-outs: every tfidf/rates/centroid
-    # stage references the table 2-4×, so both runtime (pandas-UDF re-eval)
-    # and Catalyst analysis (plan tree ~4× per stage) blow up exponentially
-    # without a barrier. localCheckpoint materializes once and gives
-    # downstream stages a leaf-scan plan. (On a cluster: checkpoint() to
-    # reliable storage — same role as the reference's per-stage CSV
-    # materialization, wikifier.py:93,210.)
+    # Cut lineage BEFORE kth_percentile: it references its input twice
+    # (distribution table + join-back), which without a barrier re-executes
+    # the entire candidate generation + string-sim chain 2× (measured ~20s
+    # of the 40s phase at sf0.1). Same role as the reference's per-stage
+    # CSV materialization (wikifier.py:93,210); on a cluster this becomes
+    # checkpoint() to reliable storage.
+    f = f.localCheckpoint()
+    f = features.kth_percentile(f)
+    # Second barrier before the aggregate fan-outs: every tfidf/rates/
+    # centroid stage references the table 2-4×, so both runtime and
+    # Catalyst analysis (plan tree ~4× per stage) blow up exponentially
+    # without it. Cheap: materializes a broadcast join over the first
+    # checkpoint's leaf.
     f = f.localCheckpoint()
     f = features.semantic_tfidf(f, "class", "kth_percenter", "smc_class_score")
     f = features.semantic_tfidf(f, "brand", "kth_percenter", "smc_property_score")
@@ -153,7 +180,9 @@ def featured_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     f = features.context_match_relevant(f)
     f = f.localCheckpoint()
-    f = features.embedding_centroid_score(f)
+    f = features.embedding_centroid_score(
+        f, emb_dim=idx.select("qnode", "embedding")
+    )
     f = features.semantic_tfidf(f, "class", "pseudo_gt", "pgt_class_count_tf_idf_score")
     f = features.semantic_tfidf(f, "brand", "pseudo_gt", "pgt_property_count_tf_idf_score")
     f = f.localCheckpoint()
@@ -413,6 +442,8 @@ QUERIES: dict[str, QueryFn] = {
     "retrieval_ngram": q_ngram,
     "retrieval_trigram": q_trigram,
     "retrieval_fuzzy": q_fuzzy,
+    "retrieval_exact_isa": q_exact_isa,
+    "retrieval_fuzzy_isa": q_fuzzy_isa,
     "candidates_dedup": q_candidates,
     "features_string_sims": _feature_query(
         "label_clean", "kg_label", "monge_elkan", "monge_elkan_aliases",
