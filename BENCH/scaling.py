@@ -30,15 +30,23 @@ DATA_DIR = os.path.join(ROOT, "BENCH", ".data")
 RUNS = os.path.join(ROOT, "BENCH", "scaling_runs.jsonl")
 
 
-def ensure_data(spark, n_repos: int, n_entities: int):
-    src_path = os.path.join(DATA_DIR, f"source_repos_{n_repos}")
+def ensure_data(spark, n_repos: int, n_entities: int, n_files: int | None = None):
+    """n_files set → executor-side distributed datagen (scales to millions
+    of rows); otherwise the driver-side golden-fixture generator."""
+    tag = f"files_{n_files}" if n_files else f"source_repos_{n_repos}"
+    src_path = os.path.join(DATA_DIR, tag)
     idx_path = os.path.join(DATA_DIR, f"entity_index_{n_entities}")
     from wikidata_wikifier_spark import datagen
 
     if not os.path.exists(src_path):
-        src, _ = datagen.source_repos_df(
-            spark, n_repos=n_repos, n_entities=n_entities
-        )
+        if n_files:
+            src = datagen.distributed_source_repos_df(
+                spark, n_files=n_files, n_entities=n_entities
+            )
+        else:
+            src, _ = datagen.source_repos_df(
+                spark, n_repos=n_repos, n_entities=n_entities
+            )
         src.repartition(64).write.mode("overwrite").parquet(src_path)
     if not os.path.exists(idx_path):
         datagen.entity_index_df(spark, n_entities=n_entities).write.mode(
@@ -51,6 +59,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, required=True)
     ap.add_argument("--repos", type=int, default=6000)
+    ap.add_argument("--files", type=int, default=None,
+                    help="use the distributed datagen with this many files")
     ap.add_argument("--entities", type=int, default=200)
     args = ap.parse_args()
 
@@ -64,7 +74,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    src_path, idx_path = ensure_data(spark, args.repos, args.entities)
+    src_path, idx_path = ensure_data(spark, args.repos, args.entities, args.files)
     # right-size scan partitions to the session (the writer's layout may
     # fragment into hundreds of tiny splits; ~2 partitions/core is the
     # sweet spot for the regex-heavy detection stage)

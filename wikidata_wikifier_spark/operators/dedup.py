@@ -256,22 +256,47 @@ def ngram_jaccard_pairs(
 
 # ----------------------------------------------------- embedding cosine
 
+# A block larger than this goes quadratic in the self-join; above it,
+# pairs are restricted to matching secondary LSH sub-buckets (2^SUB_PLANES
+# of them), bounding the fan-out ~8x per level. A hot cluster label at
+# 100 TB (one label holding millions of vectors) otherwise produces an
+# O(B²) task that no amount of executors absorbs.
+COSINE_BLOCK_CAP = 64
+COSINE_SUB_PLANES = 3
+
+
 def embedding_cosine_pairs(
     embs: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     block_col: str = "label",
     threshold: float = COSINE_DUP_MIN,
+    block_cap: int = COSINE_BLOCK_CAP,
 ) -> DataFrame:
     """Near-dup pairs by cosine ≥ threshold, blocked by the coarse cluster
-    label (IVF-style: only same-cell comparisons)."""
+    label (IVF-style: only same-cell comparisons), with HOT-BLOCK SAFETY:
+    blocks over block_cap vectors additionally require matching hyperplane
+    sub-buckets (deterministic integer LSH, similarity.lsh_bucket), so the
+    join key itself caps the fan-out — the quadratic blowup never
+    materializes, at the usual LSH recall tradeoff for far-apart pairs
+    inside hot blocks (near-identical vectors share sub-buckets with high
+    probability). Mirrored exactly in the DuckDB oracle."""
+    from .similarity import lsh_bucket
+
     v = embs.select(
         F.col(id_col).alias("id"), F.col(block_col).alias("blk"), F.col(vec_col).alias("v")
     )
-    a = v.select(F.col("id").alias("a"), "blk", F.col("v").alias("va"))
-    b = v.select(F.col("id").alias("b"), "blk", F.col("v").alias("vb"))
+    sizes = v.groupBy("blk").agg(F.count("*").alias("_bn"))
+    v = v.join(F.broadcast(sizes), "blk").withColumn(
+        "sub",
+        F.when(F.col("_bn") <= block_cap, F.lit(-1)).otherwise(
+            lsh_bucket(F.col("v"), COSINE_SUB_PLANES)
+        ),
+    )
+    a = v.select(F.col("id").alias("a"), "blk", "sub", F.col("v").alias("va"))
+    b = v.select(F.col("id").alias("b"), "blk", "sub", F.col("v").alias("vb"))
     return (
-        a.join(b, "blk")
+        a.join(b, ["blk", "sub"])
         .where(F.col("a") < F.col("b"))
         .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
         .where(F.col("cosine") >= threshold)

@@ -155,6 +155,58 @@ def context_match(cands: DataFrame) -> DataFrame:
     return out.withColumn("context_score", F.round(score, 6))
 
 
+def context_match_typed(
+    cands: DataFrame,
+    properties: list[tuple[str, str]],
+    context_col: str = "context",
+    out: str = "context_score_typed",
+) -> DataFrame:
+    """Generic context-match (wikifier.py:159-162) over a DECLARED property
+    array instead of the fixed brand/class/size triple: each (column_name,
+    kind) pair consumes one pipe-separated slot of the context string and
+    compares it against the candidate column by kind —
+
+    - string:   levenshtein similarity ≥ 0.85 (case-folded)
+    - quantity: relative closeness min/max ≥ 0.9
+    - date:     calendar-date equality after parsing (the reference parses
+                date-like context cells, e.g. cricketers.csv `dob`)
+
+    Emits <name>_match / <name>_score per property plus the mean score.
+    Pure native expressions (codegen) — kind dispatch happens at plan
+    build time, not per row."""
+    ctx = F.split(F.col(context_col), r"\|")
+    out_df = cands
+    score_cols: list[Column] = []
+    for i, (name, kind) in enumerate(properties):
+        c = ctx.getItem(i)
+        v = F.col(name)
+        if kind == "string":
+            sim = levenshtein_similarity(F.lower(c), F.lower(v))
+            match = (sim >= CONTEXT_STRING_SIM_MIN).cast("int")
+            score = match * sim
+        elif kind == "quantity":
+            cq, vq = c.cast("double"), v.cast("double")
+            closeness = F.when(
+                F.greatest(cq, vq) == 0, F.lit(1.0)
+            ).otherwise(F.least(cq, vq) / F.greatest(cq, vq))
+            match = (closeness >= CONTEXT_QUANTITY_MIN).cast("int")
+            score = match * closeness
+        elif kind == "date":
+            match = (F.to_date(c) == F.to_date(v)).cast("int")
+            score = match.cast("double")
+        else:
+            raise ValueError(f"unknown property kind: {kind}")
+        out_df = out_df.withColumn(f"{name}_match", F.coalesce(match, F.lit(0)))
+        out_df = out_df.withColumn(
+            f"{name}_score", F.round(F.coalesce(score, F.lit(0.0)), 6)
+        )
+        score_cols.append(F.col(f"{name}_score"))
+    total = score_cols[0]
+    for s in score_cols[1:]:
+        total = total + s
+    return out_df.withColumn(out, F.round(total / len(properties), 6))
+
+
 RELEVANT_PROPERTY_MIN_RATE = 0.5  # --save-relevant-properties anchor share [ext]
 
 
@@ -199,24 +251,42 @@ def kth_percentile(
     score_col: str = "context_score",
     out: str = "kth_percenter",
     ignore_col: str = "ignore_candidate",
+    column_col: str | None = None,
+    minimum_cells: int = 10,
+    cell_col: str = "row",
 ) -> DataFrame:
     """kth-percentile (wikifier.py:163-164): flag candidates in the top
     (1 - 0.75) percent_rank band of score_col, excluding ignored ones.
 
+    Reference semantics: the percentile is computed PER TARGET COLUMN
+    (`-c column`) and a column is skipped entirely when it has fewer than
+    `--minimum-cells 10` input cells (too few cells to make the top band
+    meaningful — no anchors are emitted for it). Pass column_col to group
+    by the table's column id; None keeps the single-column behavior
+    (identical result, since a lone column is one group).
+
     percent_rank is computed over the DISTINCT-SCORE distribution table
-    (scores are rounded, so it has at most a few thousand rows) and
-    broadcast-joined back: pr = (#rows with smaller score) / (n - 1) —
-    bit-identical to the window definition, but the candidate table never
-    collapses into one sort partition. A naive
+    (scores are rounded, so it has at most a few thousand rows per
+    column) and broadcast-joined back: pr = (#rows with smaller score) /
+    (n - 1) — bit-identical to the window definition, but the candidate
+    table never collapses into one sort partition. A naive
     percent_rank().over(partitionBy(ignore_flag)) serializes the whole
     table into ≤2 tasks — the measured scaling bottleneck."""
-    dist = cands.groupBy(ignore_col, score_col).agg(F.count("*").alias("c"))
-    w_cum = Window.partitionBy(ignore_col).orderBy(score_col)
-    w_all = Window.partitionBy(ignore_col)
+    group = [column_col] if column_col else []
+    cells = cands.groupBy(*group).agg(
+        F.countDistinct(cell_col).alias("n_cells")
+    )
+    dist = cands.groupBy(*group, ignore_col, score_col).agg(F.count("*").alias("c"))
+    w_cum = Window.partitionBy(*group, ignore_col).orderBy(score_col)
+    w_ign = Window.partitionBy(*group, ignore_col)
+    dist = dist.withColumn("below", F.sum("c").over(w_cum) - F.col("c")).withColumn(
+        "n", F.sum("c").over(w_ign)
+    )
     dist = (
-        dist.withColumn("below", F.sum("c").over(w_cum) - F.col("c"))
-        .withColumn("n", F.sum("c").over(w_all))
-        .withColumn(
+        dist.join(F.broadcast(cells), group) if group else dist.crossJoin(F.broadcast(cells))
+    )
+    dist = (
+        dist.withColumn(
             "pr",
             F.when(F.col("n") == 1, F.lit(0.0)).otherwise(
                 F.col("below") / (F.col("n") - 1)
@@ -225,12 +295,15 @@ def kth_percentile(
         .withColumn(
             out,
             F.when(
-                (F.col(ignore_col) == 0) & (F.col("pr") >= KTH_PERCENTILE), 1
+                (F.col(ignore_col) == 0)
+                & (F.col("pr") >= KTH_PERCENTILE)
+                & (F.col("n_cells") >= minimum_cells),
+                1,
             ).otherwise(0),
         )
-        .select(ignore_col, score_col, out)
+        .select(*group, ignore_col, score_col, out)
     )
-    return cands.join(F.broadcast(dist), [ignore_col, score_col], "left")
+    return cands.join(F.broadcast(dist), group + [ignore_col, score_col], "left")
 
 
 def pgr_rts(cands: DataFrame) -> DataFrame:
@@ -369,17 +442,135 @@ def embedding_centroid_score(
     )
 
 
+LOF_K = 10               # neighbors for LOF (bounded by group size - 1)
+LOF_THRESHOLD = 1.5      # points with LOF above this are dropped
+LOF_MAX_ANCHORS = 1024   # deterministic cap per group (O(n²) distance matrix)
+
+
+def _lof_scores(x: "np.ndarray", k: int) -> "np.ndarray":
+    """Classic Local Outlier Factor (Breunig et al. 2000) in pure numpy:
+    k-distance → reachability distance → local reachability density →
+    LOF = mean(lrd of neighbors) / lrd(point). Duplicate points (zero
+    distances) are guarded with an epsilon so lrd stays finite."""
+    import numpy as np
+
+    n = len(x)
+    d = np.sqrt(
+        np.maximum(
+            ((x[:, None, :] - x[None, :, :]) ** 2).sum(axis=2), 0.0
+        )
+    )
+    np.fill_diagonal(d, np.inf)
+    nbr = np.argsort(d, axis=1, kind="stable")[:, :k]
+    rows = np.arange(n)[:, None]
+    kdist = d[rows, nbr][:, -1]
+    reach = np.maximum(d[rows, nbr], kdist[nbr])
+    lrd = k / np.maximum(reach.sum(axis=1), 1e-12)
+    return lrd[nbr].mean(axis=1) / np.maximum(lrd, 1e-12)
+
+
+def embedding_centroid_lof_score(
+    cands: DataFrame,
+    emb_dim: DataFrame | None = None,
+    anchor_col: str = "pseudo_gt",
+    emb_col: str = "embedding",
+    out: str = "pgt_centroid_lof_score",
+    k: int = LOF_K,
+    threshold: float = LOF_THRESHOLD,
+    max_anchors: int = LOF_MAX_ANCHORS,
+) -> DataFrame:
+    """score-using-embedding --column-vector-strategy centroid-of-lof
+    (wikifier.py:191-195): LOF-filter the anchor embeddings, centroid the
+    INLIERS only, then cosine(candidate, centroid) — one noisy pseudo-GT
+    anchor no longer skews the centroid.
+
+    Plan: the anchor set is the DISTINCT anchor qnodes' embeddings —
+    entity-scale, not candidate-scale — deterministically capped at
+    max_anchors (ordered by md5(qnode), stable across partitionings, the
+    LOF distance matrix is O(n²)). LOF runs in one applyInPandas numpy
+    task; groups of < 3 points fall back to the plain centroid (LOF is
+    undefined). The cosine join-back is per distinct qnode exactly like
+    embedding_centroid_score. MLP math is not ANSI-SQL-expressible and
+    neither is LOF → driver check is rows-only; bit-level behavior is
+    pinned by tests/test_lof.py against the planted outliers in
+    datagen.entity_rows."""
+    import pandas as pd
+
+    if emb_dim is None:
+        emb_dim = cands.groupBy("qnode").agg(F.first(emb_col).alias(emb_col))
+    anchors = (
+        cands.where(F.col(anchor_col) == 1)
+        .select("qnode")
+        .distinct()
+        .join(size_aware_broadcast(emb_dim, None), "qnode")
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy(F.md5("qnode"))
+    anchors = (
+        anchors.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= max_anchors)
+        .drop("_rk")
+    )
+
+    def lof_centroid(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        x = np.asarray(pdf[emb_col].tolist(), dtype=np.float64)
+        if len(x) >= 3:
+            lof = _lof_scores(x, min(k, len(x) - 1))
+            keep = lof <= threshold
+            if keep.any():
+                x = x[keep]
+        c = np.round(x.mean(axis=0), 6)
+        return pd.DataFrame({"i": np.arange(len(c), dtype=np.int32), "c": c})
+
+    centroid = (
+        anchors.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(lof_centroid, "i int, c double")
+    )
+    qn = (
+        cands.select("qnode")
+        .distinct()
+        .join(size_aware_broadcast(emb_dim, None), "qnode")
+        .select("qnode", F.posexplode(emb_col).alias("i", "v"))
+    )
+    scores = (
+        qn.join(F.broadcast(centroid), "i")
+        .groupBy("qnode")
+        .agg(
+            F.sum(F.col("v") * F.col("c")).alias("dot"),
+            F.sum(F.col("v") * F.col("v")).alias("nv"),
+            F.sum(F.col("c") * F.col("c")).alias("nc"),
+        )
+        .withColumn(
+            out,
+            F.when(F.col("nv") * F.col("nc") == 0, F.lit(0.0)).otherwise(
+                F.round(F.col("dot") / (F.sqrt("nv") * F.sqrt("nc")), 6)
+            ),
+        )
+        .select("qnode", out)
+    )
+    return cands.join(size_aware_broadcast(scores, None), "qnode", "left").na.fill(
+        {out: 0.0}
+    )
+
+
 def create_pseudo_gt(
     cands: DataFrame,
     prediction_col: str,
     filter_col: str = "smc_class_score",
     out: str = "pseudo_gt",
     integral: bool = False,
+    column_col: str | None = None,
 ) -> DataFrame:
     """create-pseudo-gt (wikifier.py:184-186): 1 for candidates whose
-    prediction ≥ global mean of the prediction, and filter_col > 0.
+    prediction ≥ the mean of the prediction, and filter_col > 0. The
+    reference thresholds PER TARGET COLUMN
+    (`--column-thresholds pseudo_gt_prediction:mean`); pass column_col to
+    group the mean by the table's column id — None keeps the
+    single-column behavior (identical result for one column).
 
-    The mean is one scalar aggregate broadcast back — never
+    The mean is a per-column aggregate broadcast back — never
     avg().over(Window.partitionBy()), which funnels the whole table
     through a single task.
 
@@ -390,8 +581,15 @@ def create_pseudo_gt(
     and partition orders (a float avg() differs in the last ulp between
     Spark and any oracle engine when the sum order differs, flipping rows
     that tie with the mean)."""
+    group = [column_col] if column_col else []
+
+    def attach(stats: DataFrame) -> DataFrame:
+        if group:
+            return cands.join(F.broadcast(stats), group)
+        return cands.crossJoin(F.broadcast(stats))
+
     if integral:
-        stats = cands.agg(
+        stats = cands.groupBy(*group).agg(
             F.sum(F.col(prediction_col).cast("decimal(38,0)")).alias("_pgt_tot"),
             F.count(F.lit(1)).alias("_pgt_n"),
         )
@@ -400,16 +598,16 @@ def create_pseudo_gt(
             >= F.col("_pgt_tot")
         )
         return (
-            cands.crossJoin(F.broadcast(stats))
+            attach(stats)
             .withColumn(
                 out,
                 F.when(cond & (F.col(filter_col) > 0), 1).otherwise(0),
             )
             .drop("_pgt_tot", "_pgt_n")
         )
-    stats = cands.agg(F.avg(prediction_col).alias("_pgt_mean"))
+    stats = cands.groupBy(*group).agg(F.avg(prediction_col).alias("_pgt_mean"))
     return (
-        cands.crossJoin(F.broadcast(stats))
+        attach(stats)
         .withColumn(
             out,
             F.when(

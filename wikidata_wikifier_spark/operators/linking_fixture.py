@@ -45,6 +45,9 @@ def entity_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", label, F.lower("p_type")),
         ).alias("aliases"),
         F.round(F.col("p_retailprice") / 1000.0, 6).alias("pagerank"),
+        F.concat(
+            F.lit("a "), F.lower("p_type"), F.lit(" of brand "), F.col("p_brand")
+        ).alias("description"),
         F.lower("p_type").alias("class"),
         F.col("p_brand").alias("brand"),
         F.col("p_size").alias("size"),

@@ -112,19 +112,32 @@ def detect_mentions(source: DataFrame) -> DataFrame:
         .withColumn("label_clean", clean_label(F.col("label")))
         .where(F.length("label_clean") >= 3)
         .where(~F.col("label_clean").isin(list(STOP_LABELS)))
-        # detection output feeds two consumers (context aggregation + the
-        # main long table); cut lineage so the content scan runs once
-        .localCheckpoint()
     )
 
-    # context = the other mention labels found in the same file (pipe-join),
-    # the analogue of canonicalize --add-context's "other cells of the row"
-    w_ctx = (
-        cleaned.groupBy("repo", "path")
-        .agg(F.array_sort(F.collect_set("label_clean")).alias("file_labels"))
-    )
+    # ONE exchange for both the context aggregation and the per-file dedup:
+    # hash-partitioning by (repo, path) clusters every finer window key
+    # (repo, path, commit, kind, label_clean) too, so Catalyst plans both
+    # windows over a single shuffle - the previous groupBy + join +
+    # dropDuplicates formulation shuffled the mention table twice, joined
+    # it back to itself, and needed a lineage barrier to stop the content
+    # scan re-running. The dedup keeps the MINIMUM-pos hit (row_number
+    # over pos), which also makes mention_id deterministic -
+    # dropDuplicates kept a partition-order-dependent row, so mention ids
+    # could differ between runs/parallelism levels.
+    from pyspark.sql import Window
+
+    w_file = Window.partitionBy("repo", "path")
+    w_dup = Window.partitionBy(
+        "repo", "path", "commit", "kind", "label_clean"
+    ).orderBy("pos", "raw")
     out = (
-        cleaned.join(w_ctx, ["repo", "path"])
+        cleaned.withColumn(
+            "file_labels", F.array_sort(F.collect_set("label_clean").over(w_file))
+        )
+        .withColumn("_rn", F.row_number().over(w_dup))
+        .where(F.col("_rn") == 1)
+        # context = the other mention labels found in the same file
+        # (pipe-join), the analogue of canonicalize --add-context
         .withColumn(
             "context",
             F.array_join(
@@ -138,12 +151,11 @@ def detect_mentions(source: DataFrame) -> DataFrame:
             "mention_id",
             md5_long(
                 F.concat_ws(
-                    "", "repo", "path", "commit", "kind", "label_clean",
+                    "", "repo", "path", "commit", "kind", "label_clean",
                     F.col("pos").cast("string"),
                 )
             ),
         )
-        .dropDuplicates(["repo", "path", "commit", "kind", "label_clean"])
         .select(
             "mention_id", "repo", "path", "commit", "lang", "kind",
             "label", "label_clean", "context", "content_sha256",

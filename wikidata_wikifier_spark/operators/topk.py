@@ -34,10 +34,29 @@ def get_kg_links(
     )
 
 
-def join_back(links: DataFrame, original: DataFrame, on: str = "row") -> DataFrame:
+def join_back(
+    links: DataFrame,
+    original: DataFrame,
+    on: str = "row",
+    extra_info: DataFrame | None = None,
+) -> DataFrame:
     """`tl join -f input.csv` (wikifier.py:223-224): attach top-k links
-    back onto the original table (left join keeps unlinked rows)."""
-    return original.join(links, on, "left")
+    back onto the original table (left join keeps unlinked rows).
+
+    extra_info: optional (qnode, aliases, description) dimension — mirrors
+    `--extra-info` (wikifier.py:223-224), which appends the linked
+    entity's aliases and description columns to the output. The aliases
+    array is pipe-joined like the reference's CSV rendering. Broadcast
+    dimension join; unlinked rows keep NULLs."""
+    out = original.join(links, on, "left")
+    if extra_info is not None:
+        dim = extra_info.select(
+            "qnode",
+            F.array_join("aliases", "|").alias("kg_aliases"),
+            F.col("description").alias("kg_descriptions"),
+        )
+        out = out.join(F.broadcast(dim), "qnode", "left")
+    return out
 
 
 def apply_match_rule(links: DataFrame, score_col: str = "siamese_prediction") -> DataFrame:

@@ -20,6 +20,7 @@ WITH entity_index AS (
             lower(p_brand) || ' ' || lower(p_name),
             lower(p_name) || ' ' || lower(p_type)]          AS aliases,
            round(p_retailprice / 1000.0, 6)                 AS pagerank,
+           'a ' || lower(p_type) || ' of brand ' || p_brand AS description,
            lower(p_type)                                    AS class,
            p_brand                                          AS brand,
            p_size                                           AS size,
@@ -381,10 +382,18 @@ _PLANE_DOT = (
     "list_sum([v[i] * CAST((({p} * 31 + (i - 1) * 17) % 13) - 6 AS DOUBLE)"
     " for i in generate_series(1, len(v))])"
 )
-_LSH_BUCKET = " + ".join(
-    f"(CASE WHEN round({_PLANE_DOT.format(p=p)}, 6) >= 0 THEN CAST({2**p} AS BIGINT) ELSE 0 END)"
-    for p in range(8)
-)
+
+
+def _lsh_bucket_sql(n_planes: int) -> str:
+    """Mirror of operators/similarity.py::lsh_bucket."""
+    return " + ".join(
+        f"(CASE WHEN round({_PLANE_DOT.format(p=p)}, 6) >= 0"
+        f" THEN CAST({2**p} AS BIGINT) ELSE 0 END)"
+        for p in range(n_planes)
+    )
+
+
+_LSH_BUCKET = _lsh_bucket_sql(8)
 
 _LANG_SCORES = ",\n           ".join(
     f"len(list_filter(toks, t -> list_contains({words!r}, t))) AS score_{lang}"
@@ -465,6 +474,47 @@ ORACLES: dict[str, str] = {
                {CLEAN.format(col="p_brand || ' ' || p_name || ' ' || p_type")} AS label_clean
         FROM part
     """,
+    "kgtk_index_build": """
+        WITH edges AS MATERIALIZED (
+            SELECT 'Q' || CAST(p_partkey AS VARCHAR) AS node1, 'label' AS label,
+                   lower(p_name) AS node2 FROM part
+            UNION ALL
+            SELECT 'Q' || CAST(p_partkey AS VARCHAR), 'alias',
+                   lower(p_brand) || ' ' || lower(p_name) FROM part
+            UNION ALL
+            SELECT 'Q' || CAST(p_partkey AS VARCHAR), 'alias',
+                   lower(p_name) || ' ' || lower(p_type) FROM part
+            UNION ALL
+            SELECT 'Q' || CAST(p_partkey AS VARCHAR), 'P31', lower(p_type) FROM part
+            UNION ALL
+            SELECT 'Q' || CAST(p_partkey AS VARCHAR), 'description',
+                   'a ' || lower(p_type) || ' of brand ' || p_brand FROM part
+            UNION ALL
+            SELECT 'Q' || CAST(p_partkey AS VARCHAR), 'pagerank',
+                   CAST(p_retailprice / 1000.0 AS VARCHAR) FROM part
+        )
+        SELECT node1 AS qnode,
+               max(CASE WHEN label = 'label' THEN node2 END) AS label,
+               max(CASE WHEN label = 'label' THEN node2 END) || '|' ||
+               array_to_string(list_sort(list_distinct(
+                   list(node2) FILTER (WHERE label = 'alias'))), '|') AS aliases,
+               max(CASE WHEN label = 'P31' THEN node2 END) AS class,
+               max(CASE WHEN label = 'description' THEN node2 END) AS description,
+               round(max(CASE WHEN label = 'pagerank'
+                              THEN CAST(node2 AS DOUBLE) END), 6) AS pagerank
+        FROM edges GROUP BY node1
+    """,
+    # reconcile_json_pivot: the Spark side round-trips through real JSON
+    # (from_json → explode → pivot); the oracle states the expected table
+    # directly from the same deterministic inputs.
+    "reconcile_json_pivot": """
+        SELECT p_partkey            AS request_id,
+               lower(p_name)        AS query,
+               lower(p_type)        AS type,
+               p_brand              AS P_brand,
+               CAST(p_size AS VARCHAR) AS P_size
+        FROM part WHERE p_partkey % 5 = 0
+    """,
     "retrieval_exact": LINKING_CTES
     + "SELECT row, label_clean, qnode, kg_label, pagerank, method, retrieval_score FROM exact_m",
     "retrieval_ngram": LINKING_CTES
@@ -500,6 +550,77 @@ ORACLES: dict[str, str] = {
     + "SELECT row, qnode, brand_match, class_match, size_match, context_score FROM f3",
     "features_kth_percentile": FEATURE_CTES
     + "SELECT row, qnode, kth_percenter FROM f4",
+    "features_context_match_typed": f"""
+        WITH base AS MATERIALIZED (
+            SELECT p_partkey AS row,
+                   CASE WHEN p_partkey % 4 = 0 THEN p_brand ELSE 'Brand#99' END AS ctx_brand,
+                   p_size + CASE WHEN p_partkey % 5 = 0 THEN 0 ELSE 3 END AS ctx_size,
+                   DATE '1992-01-01' + CAST(p_partkey % 1000 AS INTEGER) AS cand_date,
+                   p_brand AS brand, p_size AS size_q
+            FROM part
+        ),
+        b2 AS MATERIALIZED (
+            SELECT *,
+                   cand_date + CASE WHEN row % 7 = 0 THEN 0 ELSE 1 END AS ctx_date,
+                   {_lev_sim("lower(ctx_brand)", "lower(brand)")} AS bsim,
+                   CASE WHEN greatest(CAST(ctx_size AS DOUBLE), CAST(size_q AS DOUBLE)) = 0
+                        THEN 1.0
+                        ELSE least(CAST(ctx_size AS DOUBLE), CAST(size_q AS DOUBLE))
+                             / greatest(CAST(ctx_size AS DOUBLE), CAST(size_q AS DOUBLE))
+                   END AS qclose
+            FROM base
+        ),
+        b3 AS MATERIALIZED (
+            SELECT row,
+                   CASE WHEN bsim >= 0.85 THEN 1 ELSE 0 END AS brand_match,
+                   CASE WHEN qclose >= 0.9 THEN 1 ELSE 0 END AS size_q_match,
+                   CASE WHEN ctx_date = cand_date THEN 1 ELSE 0 END AS dob_match,
+                   round((CASE WHEN bsim >= 0.85 THEN 1 ELSE 0 END) * bsim, 6) AS brand_score,
+                   round((CASE WHEN qclose >= 0.9 THEN 1 ELSE 0 END) * qclose, 6) AS size_q_score
+            FROM b2
+        )
+        SELECT row, brand_match, size_q_match, dob_match, brand_score, size_q_score,
+               round((brand_score + size_q_score + CAST(dob_match AS DOUBLE)) / 3, 6)
+                   AS context_score_typed
+        FROM b3
+    """,
+    "features_kth_percentile_per_column": """
+        WITH base AS MATERIALIZED (
+            SELECT o_orderpriority AS "column", o_orderkey AS row,
+                   CAST(floor(o_totalprice) AS BIGINT) AS score,
+                   CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END AS ignore_candidate
+            FROM orders
+            UNION ALL
+            SELECT '0-TINY', 900000001 + i, CAST(i * 1000 + 1 AS BIGINT), 0
+            FROM generate_series(0, 4) t(i)
+        ),
+        cells AS MATERIALIZED (
+            SELECT "column", count(DISTINCT row) AS n_cells FROM base GROUP BY 1
+        )
+        SELECT "column", row,
+               CASE WHEN ignore_candidate = 0
+                     AND percent_rank() OVER (PARTITION BY "column", ignore_candidate
+                                              ORDER BY score) >= 0.75
+                     AND n_cells >= 10
+                    THEN 1 ELSE 0 END AS kth_percenter
+        FROM base JOIN cells USING ("column")
+    """,
+    "features_pseudo_gt_per_column": """
+        WITH base AS MATERIALIZED (
+            SELECT o_orderpriority AS "column", o_orderkey AS row,
+                   CAST(floor(o_totalprice) AS BIGINT) AS score
+            FROM orders
+            UNION ALL
+            SELECT '0-TINY', 900000001 + i, CAST(i * 1000 + 1 AS BIGINT)
+            FROM generate_series(0, 4) t(i)
+        )
+        SELECT "column", row,
+               CASE WHEN CAST(score AS HUGEINT) * count(*) OVER (PARTITION BY "column")
+                         >= sum(CAST(score AS HUGEINT)) OVER (PARTITION BY "column")
+                     AND score > 0
+                    THEN 1 ELSE 0 END AS pseudo_gt
+        FROM base
+    """,
     "features_pgr_rts": FEATURE_CTES + "SELECT row, qnode, pgr_rts FROM f5",
     "features_smc_tfidf": FEATURE_CTES
     + "SELECT row, qnode, smc_class_score, smc_property_score FROM f7",
@@ -525,7 +646,9 @@ ORACLES: dict[str, str] = {
     """,
     "join_back_top1": FEATURE_CTES
     + """
-        SELECT m.row, m.label, m.context, l.qnode, l.retrieval_score, l.rank
+        SELECT m.row, m.label, m.context, l.qnode, l.retrieval_score, l.rank,
+               array_to_string(e.aliases, '|') AS kg_aliases,
+               e.description AS kg_descriptions
         FROM cm m LEFT JOIN (
             SELECT row, qnode, retrieval_score, rank FROM (
                 SELECT row, qnode, retrieval_score,
@@ -533,6 +656,7 @@ ORACLES: dict[str, str] = {
                            ORDER BY retrieval_score DESC, qnode ASC) AS rank
                 FROM cand)
             WHERE rank <= 1) l USING (row)
+        LEFT JOIN entity_index e ON l.qnode = e.qnode
     """,
     "match_rule": FEATURE_CTES
     + """
@@ -631,13 +755,20 @@ ORACLES: dict[str, str] = {
         SELECT a, b, round(o * 1.0 / (na + nb - o), 6) AS jaccard
         FROM ov WHERE round(o * 1.0 / (na + nb - o), 6) >= 0.8
     """,
-    "dedup_embedding_cosine": """
+    "dedup_embedding_cosine": f"""
         WITH e AS MATERIALIZED (
-            SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+            SELECT vec_id, label AS blk, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        sz AS MATERIALIZED (SELECT blk, count(*) AS bn FROM e GROUP BY blk),
+        eb AS MATERIALIZED (
+            SELECT vec_id, blk, v,
+                   CASE WHEN bn <= 64 THEN CAST(-1 AS BIGINT)
+                        ELSE {_lsh_bucket_sql(3)} END AS sub
+            FROM e JOIN sz USING (blk)
         )
         SELECT a.vec_id AS a, b.vec_id AS b,
                round(list_cosine_similarity(a.v, b.v), 6) AS cosine
-        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        FROM eb a JOIN eb b ON a.blk = b.blk AND a.sub = b.sub AND a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
     """,
     "ann_cosine_topk": """

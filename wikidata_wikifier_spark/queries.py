@@ -197,6 +197,148 @@ def _feature_query(*cols: str) -> QueryFn:
     return fn
 
 
+def q_context_match_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic property-array context match incl. DATE parsing
+    (wikifier.py:159-162; the cricketers.csv dob case): string + quantity +
+    date properties declared as a spec, context synthesized from part with
+    planted mismatches."""
+    part = load_table(spark, sf_dir, "part")
+    base_date = F.to_date(F.lit("1992-01-01"))
+    cand_date = F.date_add(base_date, (F.col("p_partkey") % 1000).cast("int"))
+    ctx_date = F.date_add(
+        cand_date, F.when(F.col("p_partkey") % 7 == 0, 0).otherwise(1)
+    )
+    ctx_brand = F.when(F.col("p_partkey") % 4 == 0, F.col("p_brand")).otherwise(
+        F.lit("Brand#99")
+    )
+    ctx_size = (
+        F.col("p_size") + F.when(F.col("p_partkey") % 5 == 0, 0).otherwise(3)
+    )
+    cands = part.select(
+        F.col("p_partkey").alias("row"),
+        F.concat_ws(
+            "|", ctx_brand, ctx_size.cast("string"), ctx_date.cast("string")
+        ).alias("context"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").alias("size_q"),
+        cand_date.cast("string").alias("dob"),
+    )
+    out = features.context_match_typed(
+        cands, [("brand", "string"), ("size_q", "quantity"), ("dob", "date")]
+    )
+    return out.select(
+        "row", "brand_match", "size_q_match", "dob_match",
+        "brand_score", "size_q_score", "context_score_typed",
+    )
+
+
+def q_kgtk_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline index build (Call-Wikifier-Service.ipynb cells 7-8): a
+    KGTK-style (node1, label, node2) edge list — synthesized from part —
+    aggregated per qnode into the entity-index table."""
+    from .sources.kgtk import build_entity_index
+
+    part = load_table(spark, sf_dir, "part")
+    q = F.concat(F.lit("Q"), F.col("p_partkey").cast("string"))
+    name = F.lower("p_name")
+    edges = part.select(
+        F.explode(
+            F.array(
+                F.struct(q.alias("node1"), F.lit("label").alias("label"), name.alias("node2")),
+                F.struct(q.alias("node1"), F.lit("alias").alias("label"),
+                         F.concat_ws(" ", F.lower("p_brand"), name).alias("node2")),
+                F.struct(q.alias("node1"), F.lit("alias").alias("label"),
+                         F.concat_ws(" ", name, F.lower("p_type")).alias("node2")),
+                F.struct(q.alias("node1"), F.lit("P31").alias("label"),
+                         F.lower("p_type").alias("node2")),
+                F.struct(q.alias("node1"), F.lit("description").alias("label"),
+                         F.concat(F.lit("a "), F.lower("p_type"), F.lit(" of brand "),
+                                  F.col("p_brand")).alias("node2")),
+                F.struct(q.alias("node1"), F.lit("pagerank").alias("label"),
+                         (F.col("p_retailprice") / 1000.0).cast("string").alias("node2")),
+            )
+        ).alias("e")
+    ).select("e.node1", "e.label", "e.node2")
+    idx = build_entity_index(edges)
+    return idx.select(
+        "qnode", "label",
+        F.array_join("aliases", "|").alias("aliases"),
+        "class", "description", "pagerank",
+    )
+
+
+def q_reconcile_json_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3C reconcile JSON body → tabular input (wikifier_service.py:73-98):
+    build the JSON payloads deterministically from the mention fixture,
+    then from_json → explode → pivot-per-pid back out."""
+    from .operators.reconcile import parse_reconcile_requests
+
+    part = load_table(spark, sf_dir, "part").where(F.col("p_partkey") % 5 == 0)
+    requests = part.select(
+        F.col("p_partkey").alias("request_id"),
+        F.concat(
+            F.lit('{"query": "'), F.lower("p_name"),
+            F.lit('", "type": "'), F.lower("p_type"),
+            F.lit('", "properties": [{"pid": "P_brand", "v": "'), F.col("p_brand"),
+            F.lit('"}, {"pid": "P_size", "v": "'), F.col("p_size").cast("string"),
+            F.lit('"}]}'),
+        ).alias("payload"),
+    )
+    return parse_reconcile_requests(requests, ["P_brand", "P_size"])
+
+
+# --- per-column threshold semantics (wikifier.py:163-164, 184-186) ------
+# The main linking fixture is single-column, so the reference's per-column
+# kth-percentile (--minimum-cells 10) and per-column pseudo-GT mean
+# thresholds are exercised on a dedicated multi-column table: orders
+# priorities as columns plus one synthetic '0-TINY' column with 5 cells
+# (below --minimum-cells, so it must produce no anchors).
+
+def _per_column_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderpriority").alias("column"),
+        F.col("o_orderkey").alias("row"),
+        F.floor("o_totalprice").cast("long").alias("score"),
+        (F.col("o_orderkey") % 7 == 0).cast("int").alias("ignore_candidate"),
+    )
+    tiny = spark.range(5).select(
+        F.lit("0-TINY").alias("column"),
+        (F.col("id") + 900000001).alias("row"),
+        (F.col("id") * 1000 + 1).cast("long").alias("score"),
+        F.lit(0).alias("ignore_candidate"),
+    )
+    return base.unionByName(tiny)
+
+
+def q_kth_percentile_per_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _per_column_scored(spark, sf_dir)
+    out = features.kth_percentile(
+        df, score_col="score", column_col="column", minimum_cells=10
+    )
+    return out.select("column", "row", "kth_percenter")
+
+
+def q_pseudo_gt_per_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _per_column_scored(spark, sf_dir)
+    out = features.create_pseudo_gt(
+        df, "score", filter_col="score", integral=True, column_col="column"
+    )
+    return out.select("column", "row", "pseudo_gt")
+
+
+def q_centroid_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """centroid-of-lof variant (wikifier.py:191-195): LOF outlier drop on
+    the anchor set before the centroid. LOF is not ANSI-SQL-expressible →
+    rows-only driver check; numeric behavior pinned by tests/test_lof.py."""
+    f = featured_candidates(spark, sf_dir)
+    idx = entity_index(spark, sf_dir)
+    out = features.embedding_centroid_lof_score(
+        f, emb_dim=idx.select("qnode", "embedding")
+    )
+    return out.select("row", "qnode", "pgt_centroid_lof_score")
+
+
 def q_ranker_pseudo_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = featured_candidates(spark, sf_dir)
     scored = ranker.predict_using_model(
@@ -235,7 +377,8 @@ def q_join_back_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         "row", "qnode", "retrieval_score", "rank"
     )
     m = cleaned_mentions(spark, sf_dir).select("row", "label", "context")
-    return topk.join_back(links, m)
+    extra = entity_index(spark, sf_dir).select("qnode", "aliases", "description")
+    return topk.join_back(links, m, extra_info=extra)
 
 
 def q_match_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -438,6 +581,8 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q5_region_volume": analytics.q5_region_volume,
     "canonicalize_add_context": q_canonicalize,
     "clean_labels": q_clean,
+    "reconcile_json_pivot": q_reconcile_json_pivot,
+    "kgtk_index_build": q_kgtk_index_build,
     "retrieval_exact": q_exact,
     "retrieval_ngram": q_ngram,
     "retrieval_trigram": q_trigram,
@@ -453,13 +598,17 @@ QUERIES: dict[str, QueryFn] = {
     "features_context_match": _feature_query(
         "brand_match", "class_match", "size_match", "context_score"
     ),
+    "features_context_match_typed": q_context_match_typed,
     "features_kth_percentile": _feature_query("kth_percenter"),
+    "features_kth_percentile_per_column": q_kth_percentile_per_column,
+    "features_pseudo_gt_per_column": q_pseudo_gt_per_column,
     "features_pgr_rts": _feature_query("pgr_rts"),
     "features_smc_tfidf": _feature_query("smc_class_score", "smc_property_score"),
     "features_mosaic": _feature_query("num_char", "num_tokens"),
     "features_pseudo_gt": _feature_query("pseudo_gt"),
     "features_context_relevant": _feature_query("context_score_3"),
     "features_centroid": _feature_query("pgt_centroid_score"),
+    "features_centroid_lof": q_centroid_lof,
     "features_pgt_tfidf": _feature_query(
         "pgt_class_count_tf_idf_score", "pgt_property_count_tf_idf_score"
     ),
