@@ -366,6 +366,129 @@ def fuzzy_matches(
     )
 
 
+def label_candidates(
+    m_str: DataFrame, index: DataFrame, isa: str | None = None
+) -> DataFrame:
+    """Label-level candidate table: (label_clean, qnode, kg_label,
+    pagerank, retrieval_score, num_occurences, methods) for a DISTINCT
+    label set — the vocabulary-scale core of generate_candidates, exposed
+    directly for pipelines that keep ALL downstream computation at label
+    granularity (pipeline.wikify) and fan out to mentions only at the very
+    end. Returns (lab_cands, idx_rows)."""
+    idx = _apply_isa(index, isa)
+    aidx = _alias_index(idx).localCheckpoint()
+    idx_rows = aidx.count()  # exact size → size-aware broadcast decisions
+
+
+    # EVERYTHING below the final fan-out runs at VOCABULARY scale: every
+    # retrieval score, the per-strategy ES-style cap, and the
+    # cross-strategy dedup depend only on label_clean — two mentions with
+    # the same cleaned label get identical candidate lists and identical
+    # rank orders. So the four strategies score DISTINCT labels only
+    # (thousands of rows where the corpus has billions of mentions), and
+    # the candidate table materializes in ONE label-keyed join at the very
+    # end — zero corpus-scale shuffles in candidate generation.
+    m_str = m_str.select("label_clean").distinct().localCheckpoint()
+    spairs = _scored_string_pairs(m_str, idx, aidx=aidx, idx_rows=idx_rows)
+    aliases = aidx.select("qnode", "kg_label_src", "pagerank", "alias_norm")
+
+    # exact: label_clean == alias_norm (≤1 row per (label, qnode): the
+    # alias index is distinct on (qnode, alias_norm))
+    exact_s = m_str.join(
+        size_aware_broadcast(aliases, idx_rows),
+        F.col("label_clean") == F.col("alias_norm"),
+        "inner",
+    ).select(
+        "label_clean", "qnode", "kg_label_src", "pagerank",
+        F.lit("exact").alias("method"), F.lit(1.0).alias("retrieval_score"),
+    )
+
+    # ngram: leading min(10, len) chars vs exploded edge-ngram prefixes,
+    # max score over an entity's aliases
+    pidx = aliases.select(
+        "qnode", "kg_label_src", "pagerank", "alias_norm",
+        F.explode(edge_ngrams(F.col("alias_norm"), EDGE_MIN, EDGE_MAX)).alias("prefix"),
+    )
+    mkey = F.substring(
+        F.col("label_clean"), 1,
+        F.least(F.length("label_clean"), F.lit(EDGE_MAX)).cast("int"),
+    )
+    ngram_s = (
+        m_str.withColumn("mkey", mkey)
+        .where(F.length("mkey") >= EDGE_MIN)
+        .join(
+            size_aware_broadcast(pidx, None if idx_rows is None else idx_rows * 8),
+            F.col("mkey") == F.col("prefix"),
+            "inner",
+        )
+        .groupBy("label_clean", "qnode")
+        .agg(
+            F.first("kg_label_src").alias("kg_label_src"),
+            F.first("pagerank").alias("pagerank"),
+            F.round(
+                F.max(F.length("prefix") / F.length("alias_norm")), 6
+            ).alias("retrieval_score"),
+        )
+        .select(
+            "label_clean", "qnode", "kg_label_src", "pagerank",
+            F.lit("ngram").alias("method"), "retrieval_score",
+        )
+    )
+
+    # trigram + fuzzy: both thresholds over the same scored string pairs,
+    # expanded to qnodes through one alias join, max over aliases
+    str_m = spairs.select(
+        "label_clean", "alias_norm",
+        F.when(F.col("jaccard") >= TRIGRAM_JACCARD_MIN, F.col("jaccard")).alias("tri"),
+        F.when(F.col("lev_sim") >= FUZZY_SIM_MIN, F.col("lev_sim")).alias("fuz"),
+    ).where(F.col("tri").isNotNull() | F.col("fuz").isNotNull())
+    tf_s = (
+        str_m.join(size_aware_broadcast(aliases, idx_rows), "alias_norm")
+        .select(
+            "label_clean", "qnode", "kg_label_src", "pagerank",
+            F.explode(
+                F.filter(
+                    F.array(
+                        F.struct(F.lit("trigram").alias("method"), F.col("tri").alias("score")),
+                        F.struct(F.lit("fuzzy").alias("method"), F.col("fuz").alias("score")),
+                    ),
+                    lambda s: s["score"].isNotNull(),
+                )
+            ).alias("ms"),
+        )
+        .groupBy("label_clean", "qnode", F.col("ms.method").alias("method"))
+        .agg(
+            F.first("kg_label_src").alias("kg_label_src"),
+            F.first("pagerank").alias("pagerank"),
+            F.round(F.max("ms.score"), 6).alias("retrieval_score"),
+        )
+        .select(
+            "label_clean", "qnode", "kg_label_src", "pagerank",
+            "method", "retrieval_score",
+        )
+    )
+
+    all_s = exact_s.unionByName(ngram_s).unionByName(tf_s)
+    # per-strategy ES result cap: per mention ≡ per label (same candidates,
+    # same order for every mention sharing the label)
+    w = Window.partitionBy("label_clean", "method").orderBy(
+        F.desc("retrieval_score"), F.asc("qnode")
+    )
+    capped = (
+        all_s.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= TOP_N_PER_STRATEGY)
+        .drop("_rn")
+    )
+    lab_cands = capped.groupBy("label_clean", "qnode").agg(
+        F.first("kg_label_src").alias("kg_label"),
+        F.max("pagerank").alias("pagerank"),
+        F.max("retrieval_score").alias("retrieval_score"),
+        F.countDistinct("method").alias("num_occurences"),
+        F.array_sort(F.collect_set("method")).alias("methods"),
+    )
+    return lab_cands, idx_rows
+
+
 def generate_candidates(
     mentions: DataFrame, index: DataFrame, isa: str | None = None
 ) -> DataFrame:
@@ -393,102 +516,9 @@ def generate_candidates(
        applies the identical groupBy/QUALIFY pipeline, so the DuckDB
        oracles for the per-strategy queries also pin this path's
        semantics."""
-    idx = _apply_isa(index, isa)
-    aidx = _alias_index(idx).localCheckpoint()
-    idx_rows = aidx.count()  # exact size → size-aware broadcast decisions
-    spairs = _scored_string_pairs(
-        mentions, idx, aidx=aidx, idx_rows=idx_rows
-    ).localCheckpoint()
-
-    aliases = aidx.select("qnode", "kg_label_src", "pagerank", "alias_norm")
-
-    # exact: label_clean == alias_norm equality join, score 1.0
-    exact_raw = mentions.select("row", "label_clean").join(
-        size_aware_broadcast(aliases, idx_rows),
-        F.col("label_clean") == F.col("alias_norm"),
-        "inner",
-    ).select(
-        "row", "label_clean", "qnode", "kg_label_src", "pagerank",
-        F.lit("exact").alias("method"), F.lit(1.0).alias("score"),
-    )
-
-    # ngram: leading min(10, len) chars vs exploded edge-ngram prefixes
-    pidx = aliases.select(
-        "qnode", "kg_label_src", "pagerank", "alias_norm",
-        F.explode(edge_ngrams(F.col("alias_norm"), EDGE_MIN, EDGE_MAX)).alias("prefix"),
-    )
-    mkey = F.substring(
-        F.col("label_clean"), 1,
-        F.least(F.length("label_clean"), F.lit(EDGE_MAX)).cast("int"),
-    )
-    ngram_raw = (
-        mentions.select("row", "label_clean")
-        .withColumn("mkey", mkey)
-        .where(F.length("mkey") >= EDGE_MIN)
-        .join(
-            size_aware_broadcast(pidx, None if idx_rows is None else idx_rows * 8),
-            F.col("mkey") == F.col("prefix"),
-            "inner",
-        )
-        .select(
-            "row", "label_clean", "qnode", "kg_label_src", "pagerank",
-            F.lit("ngram").alias("method"),
-            (F.length("prefix") / F.length("alias_norm")).alias("score"),
-        )
-    )
-
-    # trigram + fuzzy: both thresholds over the same scored string pairs,
-    # expanded through one join pass
-    str_m = spairs.select(
-        "label_clean", "alias_norm",
-        F.when(F.col("jaccard") >= TRIGRAM_JACCARD_MIN, F.col("jaccard")).alias("tri"),
-        F.when(F.col("lev_sim") >= FUZZY_SIM_MIN, F.col("lev_sim")).alias("fuz"),
-    ).where(F.col("tri").isNotNull() | F.col("fuz").isNotNull())
-    n_parts = max(mentions.sparkSession.sparkContext.defaultParallelism * 2, 16)
-    expanded = (
-        mentions.select("row", "label_clean")
-        .repartition(n_parts, F.col("row"))
-        .join(size_aware_broadcast(str_m, idx_rows), "label_clean")
-        .join(size_aware_broadcast(aliases, idx_rows), "alias_norm")
-        .select(
-            "row", "label_clean", "qnode", "kg_label_src", "pagerank",
-            F.explode(
-                F.filter(
-                    F.array(
-                        F.struct(F.lit("trigram").alias("method"), F.col("tri").alias("score")),
-                        F.struct(F.lit("fuzzy").alias("method"), F.col("fuz").alias("score")),
-                    ),
-                    lambda s: s["score"].isNotNull(),
-                )
-            ).alias("ms"),
-        )
-        .select(
-            "row", "label_clean", "qnode", "kg_label_src", "pagerank",
-            F.col("ms.method").alias("method"), F.col("ms.score").alias("score"),
-        )
-    )
-
-    raw = exact_raw.unionByName(ngram_raw).unionByName(expanded)
-    per_strategy = raw.groupBy("row", "label_clean", "qnode", "method").agg(
-        F.first("kg_label_src").alias("kg_label"),
-        F.first("pagerank").alias("pagerank"),
-        F.round(F.max("score"), 6).alias("retrieval_score"),
-    )
-    w = Window.partitionBy("row", "method").orderBy(
-        F.desc("retrieval_score"), F.asc("qnode")
-    )
-    capped = (
-        per_strategy.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= TOP_N_PER_STRATEGY)
-        .drop("_rn")
-    )
-    return (
-        capped.groupBy("row", "label_clean", "qnode")
-        .agg(
-            F.first("kg_label").alias("kg_label"),
-            F.max("pagerank").alias("pagerank"),
-            F.max("retrieval_score").alias("retrieval_score"),
-            F.countDistinct("method").alias("num_occurences"),
-            F.array_sort(F.collect_set("method")).alias("methods"),
-        )
+    lab_cands, idx_rows = label_candidates(mentions, index, isa)
+    # the ONLY corpus-scale operation: mentions stream through one
+    # label-keyed join against the (tiny) label-level candidate table
+    return mentions.select("row", "label_clean").join(
+        size_aware_broadcast(lab_cands, idx_rows), "label_clean", "inner"
     )

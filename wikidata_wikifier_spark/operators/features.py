@@ -254,6 +254,7 @@ def kth_percentile(
     column_col: str | None = None,
     minimum_cells: int = 10,
     cell_col: str = "row",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """kth-percentile (wikifier.py:163-164): flag candidates in the top
     (1 - 0.75) percent_rank band of score_col, excluding ignored ones.
@@ -273,10 +274,19 @@ def kth_percentile(
     percent_rank().over(partitionBy(ignore_flag)) serializes the whole
     table into ≤2 tasks — the measured scaling bottleneck."""
     group = [column_col] if column_col else []
-    cells = cands.groupBy(*group).agg(
-        F.countDistinct(cell_col).alias("n_cells")
+    # weight_col: label-level mode — each row stands for `weight` mentions
+    # (exact integer multiplicities), so every count becomes sum(weight)
+    # and the result is identical to running row-level (tests/test_label_level.py)
+    w_expr = F.col(weight_col) if weight_col else F.lit(1)
+    cells = (
+        cands.select(*group, cell_col, w_expr.alias("_w"))
+        .dropDuplicates(group + [cell_col])
+        .groupBy(*group)
+        .agg(F.sum("_w").alias("n_cells"))
     )
-    dist = cands.groupBy(*group, ignore_col, score_col).agg(F.count("*").alias("c"))
+    dist = cands.groupBy(*group, ignore_col, score_col).agg(
+        F.sum(w_expr).alias("c")
+    )
     w_cum = Window.partitionBy(*group, ignore_col).orderBy(score_col)
     w_ign = Window.partitionBy(*group, ignore_col)
     dist = dist.withColumn("below", F.sum("c").over(w_cum) - F.col("c")).withColumn(
@@ -330,6 +340,7 @@ def semantic_tfidf(
     feature_col: str,
     anchor_col: str,
     out: str,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """pgt-semantic-tf-idf / compute-tf-idf (wikifier.py:165-178,196-205):
     score every candidate by the TF-IDF weight of its class/property
@@ -347,10 +358,11 @@ def semantic_tfidf(
     candidate-table reshuffle.
     """
     n_qnodes = cands.select(F.countDistinct("qnode").alias("n_qnodes"))
+    w_expr = F.col(weight_col) if weight_col else F.lit(1)
     tf = (
         cands.where(F.col(anchor_col) == 1)
         .groupBy(feature_col)
-        .agg(F.count("*").alias("tf"))
+        .agg(F.sum(w_expr).alias("tf"))
     )
     df_ = cands.groupBy(feature_col).agg(F.countDistinct("qnode").alias("df"))
     raw_w = F.col("tf") * F.log(F.col("n_qnodes") / F.col("df"))
@@ -362,13 +374,13 @@ def semantic_tfidf(
             feature_col,
             F.when(max_w == 0, F.lit(0.0))
             .otherwise(F.round(raw_w / max_w, 6))
-            .alias("w"),
+            .alias("_tfidf_w"),
         )
     )
     return (
         cands.join(F.broadcast(weights), feature_col, "left")
-        .withColumn(out, F.coalesce(F.col("w"), F.lit(0.0)))
-        .drop("w")
+        .withColumn(out, F.coalesce(F.col("_tfidf_w"), F.lit(0.0)))
+        .drop("_tfidf_w")
     )
 
 
@@ -385,6 +397,7 @@ def embedding_centroid_score(
     anchor_col: str = "pseudo_gt",
     emb_col: str = "embedding",
     out: str = "pgt_centroid_score",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """score-using-embedding --column-vector-strategy centroid
     (wikifier.py:191-195), LOF-free variant: centroid of anchor-candidate
@@ -404,8 +417,11 @@ def embedding_centroid_score(
     embedding array never has to be carried on the candidate table."""
     if emb_dim is None:
         emb_dim = cands.groupBy("qnode").agg(F.first(emb_col).alias(emb_col))
+    w_expr = F.col(weight_col) if weight_col else F.lit(1)
     anchor_counts = (
-        cands.where(F.col(anchor_col) == 1).groupBy("qnode").agg(F.count("*").alias("w"))
+        cands.where(F.col(anchor_col) == 1)
+        .groupBy("qnode")
+        .agg(F.sum(w_expr).alias("w"))
     )
     a_emb = anchor_counts.join(size_aware_broadcast(emb_dim, None), "qnode")
     centroid = (
@@ -562,6 +578,7 @@ def create_pseudo_gt(
     out: str = "pseudo_gt",
     integral: bool = False,
     column_col: str | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """create-pseudo-gt (wikifier.py:184-186): 1 for candidates whose
     prediction ≥ the mean of the prediction, and filter_col > 0. The
@@ -588,10 +605,14 @@ def create_pseudo_gt(
             return cands.join(F.broadcast(stats), group)
         return cands.crossJoin(F.broadcast(stats))
 
+    w_expr = (
+        F.col(weight_col).cast("decimal(38,0)") if weight_col
+        else F.lit(1).cast("decimal(38,0)")
+    )
     if integral:
         stats = cands.groupBy(*group).agg(
-            F.sum(F.col(prediction_col).cast("decimal(38,0)")).alias("_pgt_tot"),
-            F.count(F.lit(1)).alias("_pgt_n"),
+            F.sum(F.col(prediction_col).cast("decimal(38,0)") * w_expr).alias("_pgt_tot"),
+            F.sum(w_expr).alias("_pgt_n"),
         )
         cond = (
             F.col(prediction_col).cast("decimal(38,0)") * F.col("_pgt_n")

@@ -76,8 +76,13 @@ def _lang_hit_array(lang: str) -> "Column":
     return F.flatten(F.array(*arrs))
 
 
-def detect_mentions(source: DataFrame) -> DataFrame:
+def detect_mentions(source: DataFrame, with_context: bool = True) -> DataFrame:
     """source(repo,path,commit,lang,content) → MENTIONS schema table.
+
+    with_context=False skips the per-file co-mention context aggregation
+    (one of the two window passes and the per-row array building) — the
+    source-code pipeline zeroes context scores anyway (code mentions have
+    no tabular row context), so wikify() never reads the column.
 
     ONE pass over content: every pattern for the row's lang is applied in
     a single projection (a CASE over langs building one hit array), so the
@@ -130,15 +135,15 @@ def detect_mentions(source: DataFrame) -> DataFrame:
     w_dup = Window.partitionBy(
         "repo", "path", "commit", "kind", "label_clean"
     ).orderBy("pos", "raw")
-    out = (
-        cleaned.withColumn(
+    deduped = cleaned.withColumn("_rn", F.row_number().over(w_dup)).where(
+        F.col("_rn") == 1
+    )
+    if with_context:
+        deduped = deduped.withColumn(
             "file_labels", F.array_sort(F.collect_set("label_clean").over(w_file))
-        )
-        .withColumn("_rn", F.row_number().over(w_dup))
-        .where(F.col("_rn") == 1)
-        # context = the other mention labels found in the same file
-        # (pipe-join), the analogue of canonicalize --add-context
-        .withColumn(
+        ).withColumn(
+            # context = the other mention labels found in the same file
+            # (pipe-join), the analogue of canonicalize --add-context
             "context",
             F.array_join(
                 F.filter(
@@ -147,6 +152,10 @@ def detect_mentions(source: DataFrame) -> DataFrame:
                 "|",
             ),
         )
+    else:
+        deduped = deduped.withColumn("context", F.lit(""))
+    out = (
+        deduped
         .withColumn(
             "mention_id",
             md5_long(

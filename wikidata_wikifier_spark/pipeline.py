@@ -38,10 +38,23 @@ def wikify(
 ) -> DataFrame:
     """source(repo,path,commit,lang,content) × index(ENTITY_INDEX) →
     LINKS table (top-k per mention + match flag), sha256 carried through.
+
+    LABEL-LEVEL EXECUTION: every retrieval score, string similarity,
+    ranker feature, MLP prediction, rank, and match flag depends only on
+    the mention's cleaned label — two mentions of "cold widget" link
+    identically. So the whole candidate+feature+ranking computation runs
+    on the DISTINCT-label table (vocabulary-scale: thousands of rows where
+    the corpus has billions of mentions), with corpus statistics (tf, the
+    pseudo-GT mean, percentile counts, centroid anchor mass) reconstructed
+    EXACTLY from integer label multiplicities (weight_col). The only
+    corpus-scale stages left are the content scan (mention detection) and
+    ONE label-keyed fan-out join at the end — the shape that survives a
+    10^12-file input, since per-label state grows with the vocabulary,
+    not the corpus.
     """
-    mentions = detect_mentions(source)
-    # mentions feed 4 retrieval strategies + the final join-back; without a
-    # barrier the content scan + regex extraction would re-run ~6x
+    mentions = detect_mentions(source, with_context=False)
+    # mentions feed the label-weight aggregate + the final fan-out; the
+    # barrier stops the content scan re-running
     mentions = mentions.localCheckpoint()
     m = mentions.select(
         F.col("mention_id").alias("row"),
@@ -51,33 +64,29 @@ def wikify(
         "content_sha256",
         "label",
     )
+    # exact integer mention multiplicity per label — the corpus statistics
+    # below are weighted by it, making label-level aggregates bit-equal to
+    # their row-level counterparts (integer sums, no float order effects)
+    lab_w = m.groupBy("label_clean").agg(F.count(F.lit(1)).alias("w"))
 
-    cands = cand_ops.generate_candidates(
-        m.select("row", "label_clean"), index.select("qnode", "label", "aliases", "pagerank")
-    ).select(
-        "row",
-        "label_clean",
-        "qnode",
-        "kg_label",
-        F.round("pagerank", 6).alias("pagerank"),
-        F.round("retrieval_score", 6).alias("retrieval_score"),
-        "num_occurences",
+    lab_cands, idx_rows = cand_ops.label_candidates(
+        m.select("label_clean"), index.select("qnode", "label", "aliases", "pagerank")
     )
-    # only per-qnode SCALARS ride on the candidate table; aliases/embedding
-    # arrays stay in dimension tables joined where actually needed
-    full = cands.join(F.broadcast(index.select("qnode", "class")), "qnode")
-
-    # spread before the feature stages: upstream AQE coalesces the capped
-    # candidate table to 1-2 partitions, which would serialize them.
-    # localCheckpoint: string_similarity_features reads its input twice
-    # (distinct-pair side + join-back side) — without the barrier the whole
-    # candidate generation runs 2×.
-    n_parts = max(source.sparkSession.sparkContext.defaultParallelism * 2, 16)
-    full = full.repartition(n_parts, F.col("row")).localCheckpoint()
+    full = (
+        lab_cands.join(lab_w, "label_clean")
+        .join(F.broadcast(index.select("qnode", "class")), "qnode")
+        .select(
+            "label_clean", "qnode", "kg_label", "w", "class",
+            F.round("pagerank", 6).alias("pagerank"),
+            F.round("retrieval_score", 6).alias("retrieval_score"),
+            "num_occurences",
+        )
+        .localCheckpoint()  # vocabulary-sized: barrier is ~free
+    )
     f = features.string_similarity_features(
         full, alias_dim=index.select("qnode", "aliases")
     )
-    f = features.singleton_feature(f)
+    f = features.singleton_feature(f, cell_cols=["label_clean"])
     f = features.pick_hc_candidates(f)
     # code mentions have no tabular row context → context scores are 0;
     # kth-percentile anchoring falls back to string-sim quality
@@ -85,13 +94,13 @@ def wikify(
         "context_score_3", F.lit(0.0)
     )
     f = features.pgr_rts(f)
-    # barrier BEFORE kth_percentile: it references its input twice
-    # (distribution table + join-back) and would re-run candidate
-    # generation + string sims 2× without the cut
     f = f.localCheckpoint()
-    f = features.kth_percentile(f, score_col="best_str_sim")
-    f = f.localCheckpoint()
-    f = features.semantic_tfidf(f, "class", "kth_percenter", "smc_class_score")
+    f = features.kth_percentile(
+        f, score_col="best_str_sim", cell_col="label_clean", weight_col="w"
+    )
+    f = features.semantic_tfidf(
+        f, "class", "kth_percenter", "smc_class_score", weight_col="w"
+    )
     f = f.withColumn("smc_property_score", F.col("smc_class_score"))
     f = ranker.predict_using_model(
         f,
@@ -101,12 +110,23 @@ def wikify(
         ranker.PSEUDO_GT_DATA_MAX,
         "pseudo_gt_prediction",
     )
-    f = features.create_pseudo_gt(f, "pseudo_gt_prediction", "smc_class_score")
+    # mean threshold in exact integer micros (prediction is 6-dp-rounded):
+    # deterministic across partitionings and identical to the row-level
+    # weighted mean
+    f = f.withColumn(
+        "_pred_micro",
+        F.floor(F.col("pseudo_gt_prediction") * 1e6 + F.lit(0.5)).cast("long"),
+    )
+    f = features.create_pseudo_gt(
+        f, "_pred_micro", "smc_class_score", integral=True, weight_col="w"
+    )
     f = f.localCheckpoint()
     f = features.embedding_centroid_score(
-        f, emb_dim=index.select("qnode", "embedding")
+        f, emb_dim=index.select("qnode", "embedding"), weight_col="w"
     )
-    f = features.semantic_tfidf(f, "class", "pseudo_gt", "pgt_class_count_tf_idf_score")
+    f = features.semantic_tfidf(
+        f, "class", "pseudo_gt", "pgt_class_count_tf_idf_score", weight_col="w"
+    )
     f = f.withColumn(
         "pgt_property_count_tf_idf_score", F.col("pgt_class_count_tf_idf_score")
     )
@@ -119,22 +139,31 @@ def wikify(
         "siamese_prediction",
     )
 
-    links = topk.get_kg_links(f, k=k, score_col="siamese_prediction")
+    # top-k per mention ≡ top-k per label (identical candidates + scores)
+    links = topk.get_kg_links(
+        f, k=k, score_col="siamese_prediction", cell_cols=["label_clean"]
+    )
     links = topk.apply_match_rule(links)
-    return (
-        links.join(m.select("row", "repo", "path", "content_sha256"), "row")
-        .select(
-            F.col("row").alias("mention_id"),
-            "repo",
-            "path",
-            "label_clean",
-            "qnode",
-            "kg_label",
-            "siamese_prediction",
-            F.col("rank").cast("int").alias("rank"),
-            "match",
-            "content_sha256",
-        )
+    lab_links = links.select(
+        "label_clean", "qnode", "kg_label", "siamese_prediction",
+        F.col("rank").cast("int").alias("rank"), "match",
+    )
+    # the ONE corpus-scale stage after detection: fan out label-level
+    # links to every mention (broadcast under threshold, shuffle join
+    # beyond — size_aware_broadcast)
+    from .plans.skew import size_aware_broadcast
+
+    return m.join(size_aware_broadcast(lab_links, idx_rows), "label_clean").select(
+        F.col("row").alias("mention_id"),
+        "repo",
+        "path",
+        "label_clean",
+        "qnode",
+        "kg_label",
+        "siamese_prediction",
+        "rank",
+        "match",
+        "content_sha256",
     )
 
 

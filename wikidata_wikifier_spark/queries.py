@@ -391,9 +391,13 @@ def q_match_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_wikify_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full reference pipeline: candidates → features → pseudo-GT MLP →
-    pseudo-gt anchors → final 10-feature MLP → top-1 links + match rule.
-    MLP scores are not ANSI-SQL-expressible → rows-only driver check."""
+    pseudo-gt anchors (on the MLP PREDICTION, wikifier.py:184-186 — not
+    the oracle-proxy pgr_rts anchoring the checked feature chain uses) →
+    re-anchored centroid + pgt tf-idf → final 10-feature MLP → top-1
+    links + match rule. MLP scores are not ANSI-SQL-expressible →
+    rows-only driver check; P/R vs goldens is pinned by pytest."""
     f = featured_candidates(spark, sf_dir)
+    idx = entity_index(spark, sf_dir)
     f = ranker.predict_using_model(
         f,
         ranker.PSEUDO_GT_FEATURES,
@@ -402,6 +406,17 @@ def q_wikify_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranker.PSEUDO_GT_DATA_MAX,
         "pseudo_gt_prediction",
     )
+    # reference-true anchoring: rebuild the pseudo-GT-downstream features
+    # from the MLP prediction threshold
+    f = f.drop(
+        "pseudo_gt", "pgt_centroid_score",
+        "pgt_class_count_tf_idf_score", "pgt_property_count_tf_idf_score",
+    )
+    f = features.create_pseudo_gt(f, "pseudo_gt_prediction", "smc_class_score")
+    f = f.localCheckpoint()
+    f = features.embedding_centroid_score(f, emb_dim=idx.select("qnode", "embedding"))
+    f = features.semantic_tfidf(f, "class", "pseudo_gt", "pgt_class_count_tf_idf_score")
+    f = features.semantic_tfidf(f, "brand", "pseudo_gt", "pgt_property_count_tf_idf_score")
     f = ranker.predict_using_model(
         f,
         ranker.FINAL_FEATURES,

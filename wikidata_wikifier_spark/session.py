@@ -17,6 +17,14 @@ import os
 
 from pyspark.sql import SparkSession
 
+# Pin BLAS pools before any numpy import in the Python workers: each of
+# the N pandas-UDF workers would otherwise spawn ncpu BLAS threads
+# (N×ncpu threads on one box — pure contention for the small per-batch
+# matmuls/kernels this engine runs). Workers inherit the driver env in
+# local mode; on a cluster set these via spark.executorEnv.*.
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
 
 def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
