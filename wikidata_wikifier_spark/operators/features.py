@@ -210,16 +210,21 @@ def context_match_typed(
 RELEVANT_PROPERTY_MIN_RATE = 0.5  # --save-relevant-properties anchor share [ext]
 
 
-def context_match_relevant(cands: DataFrame) -> DataFrame:
+def context_match_relevant(
+    cands: DataFrame, column_col: str | None = None
+) -> DataFrame:
     """Second context-match pass (wikifier.py:187-189,
     --use-relevant-properties): a property is "relevant" if it matched for
     ≥ 50% of the kth-percentile anchor candidates; context_score_3 is the
     match fraction over relevant properties only (0 when none relevant).
 
-    The relevance stats are one global aggregate row, broadcast back —
-    the reference's ctx_props.csv side file become a 1-row dimension.
-    """
-    rates = cands.where(F.col("kth_percenter") == 1).agg(
+    The reference saves relevant properties PER INPUT COLUMN
+    (ctx_props.csv keyed by column); pass column_col to group the
+    relevance rates accordingly — None collapses to one global rate row
+    (identical for single-column inputs). Either way the stats are a tiny
+    aggregate broadcast back."""
+    group = [column_col] if column_col else []
+    rates = cands.where(F.col("kth_percenter") == 1).groupBy(*group).agg(
         F.coalesce(
             (F.avg("brand_match") >= RELEVANT_PROPERTY_MIN_RATE).cast("int"), F.lit(0)
         ).alias("rel_brand"),
@@ -230,20 +235,26 @@ def context_match_relevant(cands: DataFrame) -> DataFrame:
             (F.avg("size_match") >= RELEVANT_PROPERTY_MIN_RATE).cast("int"), F.lit(0)
         ).alias("rel_size"),
     )
-    n_rel = F.col("rel_brand") + F.col("rel_class") + F.col("rel_size")
+    # left join: a column with zero anchors has no rates row — its
+    # properties are all irrelevant (score 0), not dropped
+    rb = F.coalesce(F.col("rel_brand"), F.lit(0))
+    rc = F.coalesce(F.col("rel_class"), F.lit(0))
+    rs = F.coalesce(F.col("rel_size"), F.lit(0))
+    n_rel = rb + rc + rs
     score = (
-        F.col("brand_score") * F.col("rel_brand")
-        + F.col("class_score") * F.col("rel_class")
-        + F.col("size_score") * F.col("rel_size")
+        F.col("brand_score") * rb
+        + F.col("class_score") * rc
+        + F.col("size_score") * rs
     )
-    return (
-        cands.crossJoin(F.broadcast(rates))
-        .withColumn(
-            "context_score_3",
-            F.when(n_rel == 0, F.lit(0.0)).otherwise(F.round(score / n_rel, 6)),
-        )
-        .drop("rel_brand", "rel_class", "rel_size")
+    joined = (
+        cands.join(F.broadcast(rates), group, "left")
+        if group
+        else cands.crossJoin(F.broadcast(rates))
     )
+    return joined.withColumn(
+        "context_score_3",
+        F.when(n_rel == 0, F.lit(0.0)).otherwise(F.round(score / n_rel, 6)),
+    ).drop("rel_brand", "rel_class", "rel_size")
 
 
 def kth_percentile(

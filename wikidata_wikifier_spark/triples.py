@@ -40,6 +40,10 @@ def links_to_triples(
     subj = F.coalesce(F.col("canonical_qnode"), F.col("qnode"))
     if "canonical_qnode" not in base.columns:
         base = base.withColumn("canonical_qnode", F.col("qnode"))
+    # three triple families read `base` — without a barrier the whole
+    # upstream links DAG (incl. the corpus-scale mention fan-out join)
+    # executes 3×; on a cluster this is checkpoint()/persist(DISK)
+    base = base.localCheckpoint()
 
     mentioned = base.select(
         subj.alias("subj"),
