@@ -30,7 +30,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_exact",
     "ann_cosine_topk",
-    "text_quality_score",
+    "text_analysis",
     "events_sessionize",
     "connected_components",
 ]

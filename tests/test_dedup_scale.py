@@ -33,6 +33,19 @@ def test_hot_block_pair_fanout_bounded(spark):
     assert capped < all_pairs / 2, (capped, all_pairs)
 
 
+def test_very_hot_block_depth_adapts(spark):
+    # 10k vectors in one block: fixed-depth bucketing (8 sub-buckets)
+    # would still leave ~(B/8)²/2 ≈ 780k pairs per bucket; the adaptive
+    # depth (here 2^8 = 256 buckets) keeps expected bucket size ≤ cap
+    embs = _hot_block(spark, n=10_000)
+    all_pairs = 10_000 * 9_999 // 2
+    capped = embedding_cosine_pairs(embs, threshold=-1.0).count()
+    # 2^8 = 256 sub-buckets; the lattice fixture's vectors correlate with
+    # the hyperplanes (skewed buckets), so assert a ≥ 20× fan-out cut
+    # rather than the uniform 256× (measured: ~28×)
+    assert capped < all_pairs / 20, (capped, all_pairs)
+
+
 def test_small_blocks_unaffected(spark):
     embs = _hot_block(spark, n=50)
     capped = embedding_cosine_pairs(embs, threshold=-1.0).count()

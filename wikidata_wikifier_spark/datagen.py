@@ -50,6 +50,20 @@ def entity_rows(n_entities: int = 200, seed: int = 42) -> list[dict]:
         aliases = [label, f"the {label}", label.replace(" ", "-")]
         if i % 11 == 0:
             aliases.append(f"{label.split()[0]} thing")  # shared-ish alias
+        # multi-valued class/property count maps (reference aux
+        # class_count/property_count, wikifier/wikifier.py:24): the primary
+        # class plus deterministic secondary classes; property ids whose
+        # presence varies per entity so the property TF-IDF has signal
+        class_count = {cls: (i % 4) + 1}
+        if i % 2 == 0:
+            class_count["artifact"] = 1
+        if i % 5 == 0:
+            class_count[f"sub{i % 7}"] = (i % 3) + 1
+        property_count = {"P_made_of": (i % 5) + 1, "P31": len(class_count)}
+        if i % 3 == 0:
+            property_count["P_color"] = 1
+        if i % 4 == 0:
+            property_count["P_use"] = 2
         rows.append(
             {
                 "qnode": f"Q{i}",
@@ -59,6 +73,11 @@ def entity_rows(n_entities: int = 200, seed: int = 42) -> list[dict]:
                 "pagerank": float(round(float(rng.pareto(2.0) + 0.05), 6)),
                 "class": cls,
                 "embedding": [float(round(float(x), 6)) for x in emb],
+                "class_count": class_count,
+                "property_count": property_count,
+                "context_arr": [
+                    {"property": "P31", "value": cls, "vtype": "string"}
+                ],
             }
         )
     return rows

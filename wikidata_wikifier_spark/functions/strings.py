@@ -243,10 +243,14 @@ def jaro_winkler_batch(sa: list[str], sb: list[str]) -> np.ndarray:
 
 
 def _dedup_pairs(sa: pd.Series, sb: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-    """(codes, unique_scores): score each DISTINCT (a, b) pair once."""
+    """(codes, unique_scores): score each DISTINCT (a, b) pair once.
+
+    Factorized on the (a, b) TUPLE, not a separator-joined string: these
+    are generic UDFs callable on arbitrary input, and a sentinel character
+    appearing in the data would otherwise collide distinct pairs."""
     a = sa.fillna("")
     b = sb.fillna("")
-    codes, _ = pd.factorize(a + "\x1f" + b, sort=False)
+    codes, _ = pd.factorize(pd.Series(list(zip(a, b)), dtype=object), sort=False)
     first = np.unique(codes, return_index=True)[1]
     uniq = jaro_winkler_batch(list(a.iloc[first]), list(b.iloc[first]))
     return codes, uniq
@@ -300,8 +304,9 @@ def _sym_me_pairs(pairs: list[tuple[int, list[str], list[str]]], n_rows: int) ->
                 cross_tb.append(t2)
     if not cross_ta:
         return out
-    key = pd.Series(cross_ta, dtype=object) + "\x1f" + pd.Series(cross_tb, dtype=object)
-    codes, _ = pd.factorize(key, sort=False)
+    codes, _ = pd.factorize(
+        pd.Series(list(zip(cross_ta, cross_tb)), dtype=object), sort=False
+    )
     first = np.unique(codes, return_index=True)[1]
     uniq = jaro_winkler_batch(
         [cross_ta[i] for i in first], [cross_tb[i] for i in first]
@@ -343,8 +348,11 @@ def _split_tokens(s: str | None) -> list[str]:
 @pandas_udf(DoubleType())
 def symmetric_monge_elkan_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     # dedup at the string-pair level first: identical (a, b) rows share one
-    # work item (the ME aggregation itself is deterministic per pair)
-    codes = pd.factorize(a.fillna("") + "\x1f" + b.fillna(""), sort=False)[0]
+    # work item (the ME aggregation itself is deterministic per pair);
+    # tuple keys, not separator-joined strings (no sentinel collisions)
+    codes = pd.factorize(
+        pd.Series(list(zip(a.fillna(""), b.fillna(""))), dtype=object), sort=False
+    )[0]
     first = np.unique(codes, return_index=True)[1]
     work = [
         (u, _split_tokens(a.iloc[i]), _split_tokens(b.iloc[i]))
@@ -360,11 +368,11 @@ def monge_elkan_max_over_aliases_udf(a: pd.Series, aliases: pd.Series) -> pd.Ser
     candidate's alias array."""
     n = len(a)
     work: list[tuple[int, list[str], list[str]]] = []
-    keys: list[str] = []
+    keys: list[tuple] = []
     for i in range(n):
         al = aliases.iloc[i]
         al_list = list(al) if al is not None else []
-        keys.append((a.iloc[i] or "") + "\x1f" + "\x1e".join(x or "" for x in al_list))
+        keys.append((a.iloc[i] or "", tuple(x or "" for x in al_list)))
     codes = pd.factorize(pd.Series(keys, dtype=object), sort=False)[0]
     first = np.unique(codes, return_index=True)[1]
     for u, i in enumerate(first):

@@ -17,17 +17,17 @@ min(reachable) semantics.
 Scale notes: each round is two equi-joins keyed by node — shuffle
 partitioned on the node key, AQE-coalesced. Lineage is cut every round
 (localCheckpoint; checkpoint() to reliable storage on a cluster) so the
-plan depth stays O(1). Convergence is a single-row aggregate (sum of
-row-hashes of the comp table) — one cheap job per round, the iterative
-pattern SURVEY.md §4 calls out as the custom piece Spark lacks natively.
+plan depth stays O(1). Convergence is derived from the doubling join
+ITSELF: each round carries a `changed` flag (new label ≠ round-start
+label) and the LAZY checkpoint is materialized by the changed-row count —
+ONE job per round doing both the barrier and the convergence test (the
+former separate digest job is gone).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-from ..functions.hashing import md5_long
 
 
 def _symmetrize(edges: DataFrame) -> DataFrame:
@@ -67,14 +67,9 @@ def connected_components(
     )
     comp = nodes.withColumn("comp", F.col("node")).localCheckpoint()
 
-    def digest(c: DataFrame) -> int:
-        return c.agg(
-            F.sum(md5_long(F.concat_ws("\x1f", "node", "comp")).cast("decimal(38,0)")).alias("d")
-        ).first()["d"]
-
-    prev = digest(comp)
     for _ in range(max_iterations):
-        # neighbor step: min of neighbor labels
+        # neighbor step: min of neighbor labels (round-start label kept as
+        # `prev` so the round's change count falls out of the same plan)
         nbr_min = (
             e.join(
                 comp.select(F.col("node").alias("dst"), F.col("comp").alias("dcomp")),
@@ -84,16 +79,15 @@ def connected_components(
             .agg(F.min("dcomp").alias("nmin"))
             .withColumnRenamed("src", "node")
         )
-        stepped = (
-            comp.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias(
-                    "comp"
-                ),
-            )
+        stepped = comp.join(nbr_min, "node", "left").select(
+            "node",
+            F.col("comp").alias("prev"),
+            F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias(
+                "comp"
+            ),
         )
         # doubling step: follow the label one hop (comp(comp(u)))
+        newc = F.least(F.col("a.comp"), F.coalesce(F.col("lcomp"), F.col("a.comp")))
         doubled = (
             stepped.alias("a")
             .join(
@@ -105,16 +99,16 @@ def connected_components(
             )
             .select(
                 F.col("a.node").alias("node"),
-                F.least(
-                    F.col("a.comp"), F.coalesce(F.col("lcomp"), F.col("a.comp"))
-                ).alias("comp"),
+                newc.alias("comp"),
+                (newc != F.col("a.prev")).alias("changed"),
             )
-            .localCheckpoint()
+            # LAZY checkpoint: the changed-count action below materializes
+            # it — lineage cut + convergence test in ONE job per round
+            .localCheckpoint(eager=False)
         )
-        comp = doubled
-        cur = digest(comp)
-        if cur == prev:
+        n_changed = doubled.where(F.col("changed")).count()
+        comp = doubled.drop("changed")
+        if n_changed == 0:
             break
-        prev = cur
 
     return comp.select("node", F.col("comp").alias("component"))

@@ -25,12 +25,18 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import affine_hash_family, char_ngrams, md5_long
 from ..functions.vectors import cosine
+from ..plans.skew import size_aware_broadcast
 
 MINHASH_K = 16
 MINHASH_BANDS = 4  # 4 rows per band
 MINHASH_VERIFY_JACCARD = 0.7
-SIMHASH_BITS = 32
-SIMHASH_BANDS = 4
+# 60 bits (the full md5-derived 60-bit hash), 6 bands × 10 bits:
+# pigeonhole still guarantees hamming ≤ 3 pairs share a band (needs ≥ 4
+# bands), and the wider signature keeps band buckets from saturating at
+# corpus scale (a 32-bit/8-bit-band signature has only 256 bucket values
+# per band — every doc collides at 100 TB)
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 6
 SIMHASH_MAX_HAMMING = 3
 NGRAM_N = 4
 NGRAM_JACCARD_MIN = 0.8
@@ -157,7 +163,7 @@ def minhash_lsh_pairs(
 # --------------------------------------------------------------- simhash
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """32-bit SimHash per doc from word-token hashes (native bit ops)."""
+    """60-bit SimHash per doc from word-token hashes (native bit ops)."""
     toks = _spread(docs, id_col).select(
         id_col, F.explode(F.array_distinct(word_tokens(F.col(text_col)))).alias("t")
     ).withColumn("h", md5_long(F.col("t")))
@@ -228,8 +234,12 @@ def ngram_jaccard_pairs(
     from pyspark.sql import Window
 
     w = Window.partitionBy("id").orderBy("gdf", "s")
+    # gram document frequencies: usually tiny (distinct grams per lang
+    # block), but NOT guaranteed small at 100 TB — size_aware_broadcast
+    # honors the session autoBroadcastJoinThreshold=-1 escape hatch and
+    # lets AQE demote to a shuffle join instead of OOMing the driver
     pre = (
-        g.join(F.broadcast(df_), ["blk", "s"])
+        g.join(size_aware_broadcast(df_, None), ["blk", "s"])
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= F.floor(F.col("n") / 5) + 1)
     )
@@ -257,12 +267,14 @@ def ngram_jaccard_pairs(
 # ----------------------------------------------------- embedding cosine
 
 # A block larger than this goes quadratic in the self-join; above it,
-# pairs are restricted to matching secondary LSH sub-buckets (2^SUB_PLANES
-# of them), bounding the fan-out ~8x per level. A hot cluster label at
-# 100 TB (one label holding millions of vectors) otherwise produces an
-# O(B²) task that no amount of executors absorbs.
+# pairs are restricted to matching hyperplane sub-buckets whose DEPTH
+# adapts to the block size (depth d = smallest d with block ≤ cap·2^d,
+# up to COSINE_MAX_PLANES), so expected bucket size stays ≤ cap no matter
+# how hot the block. A hot cluster label at 100 TB (one label holding
+# millions of vectors) otherwise produces an O(B²) task that no amount of
+# executors absorbs.
 COSINE_BLOCK_CAP = 64
-COSINE_SUB_PLANES = 3
+COSINE_MAX_PLANES = 12
 
 
 def embedding_cosine_pairs(
@@ -280,18 +292,22 @@ def embedding_cosine_pairs(
     join key itself caps the fan-out — the quadratic blowup never
     materializes, at the usual LSH recall tradeoff for far-apart pairs
     inside hot blocks (near-identical vectors share sub-buckets with high
-    probability). Mirrored exactly in the DuckDB oracle."""
-    from .similarity import lsh_bucket
+    probability). The sub-bucket depth ADAPTS to the block size (integer
+    threshold chain, engine-exact — no float log2 at the boundary), so a
+    million-vector hot block gets 2^ceil(log2(B/cap)) buckets, not a fixed
+    8. Mirrored exactly in the DuckDB oracle."""
+    from .similarity import lsh_bucket_gated
 
     v = embs.select(
         F.col(id_col).alias("id"), F.col(block_col).alias("blk"), F.col(vec_col).alias("v")
     )
     sizes = v.groupBy("blk").agg(F.count("*").alias("_bn"))
+    depth = F.when(F.col("_bn") <= block_cap, F.lit(0))
+    for d in range(1, COSINE_MAX_PLANES):
+        depth = depth.when(F.col("_bn") <= block_cap * (2 ** d), F.lit(d))
+    depth = depth.otherwise(F.lit(COSINE_MAX_PLANES))
     v = v.join(F.broadcast(sizes), "blk").withColumn(
-        "sub",
-        F.when(F.col("_bn") <= block_cap, F.lit(-1)).otherwise(
-            lsh_bucket(F.col("v"), COSINE_SUB_PLANES)
-        ),
+        "sub", lsh_bucket_gated(F.col("v"), depth, COSINE_MAX_PLANES)
     )
     a = v.select(F.col("id").alias("a"), "blk", "sub", F.col("v").alias("va"))
     b = v.select(F.col("id").alias("b"), "blk", "sub", F.col("v").alias("vb"))

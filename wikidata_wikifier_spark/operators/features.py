@@ -44,7 +44,9 @@ def _floor_sim(col: Column) -> Column:
 
 
 def string_similarity_features(
-    cands: DataFrame, alias_dim: DataFrame | None = None
+    cands: DataFrame,
+    alias_dim: DataFrame | None = None,
+    dim_rows: int | None = None,
 ) -> DataFrame:
     """monge_elkan / monge_elkan_aliases / jaro_winkler / levenshtein
     (wikifier.py:149-154), all floored at 0.5 per `--threshold`.
@@ -66,7 +68,7 @@ def string_similarity_features(
         pairs = (
             cands.select("label_clean", "qnode", "kg_label")
             .distinct()
-            .join(size_aware_broadcast(alias_dim, None), "qnode")
+            .join(size_aware_broadcast(alias_dim, dim_rows), "qnode")
         )
     else:
         pairs = cands.groupBy(*key).agg(
@@ -87,7 +89,7 @@ def string_similarity_features(
             F.round(jaro_winkler_udf(F.col("label_clean"), F.col("kg_label")), 6)
         ).alias("jaro_winkler"),
     )
-    return cands.join(size_aware_broadcast(pairs, None), key, "inner").withColumn(
+    return cands.join(size_aware_broadcast(pairs, dim_rows), key, "inner").withColumn(
         "levenshtein",
         _floor_sim(
             F.round(levenshtein_similarity(F.col("label_clean"), F.col("kg_label")), 6)
@@ -395,6 +397,180 @@ def semantic_tfidf(
     )
 
 
+def semantic_tfidf_map(
+    cands: DataFrame,
+    key_dim: DataFrame,
+    anchor_col: str,
+    out: str,
+    weight_col: str | None = None,
+    dim_rows: int | None = None,
+) -> DataFrame:
+    """pgt-semantic-tf-idf / compute-tf-idf over a COUNT-MAP feature
+    (wikifier.py:165-178,196-205 with --feature-name class_count /
+    property_count): the reference's aux fields are maps of class/property
+    → count per qnode, so a candidate carries a SET of feature keys and
+    its score sums the tf-idf weight of every key it has.
+
+    key_dim: (qnode, key) exploded map rows — distinct per (qnode, key).
+
+    tf(k)  = Σ weight over anchor candidates whose qnode carries k
+    df(k)  = # distinct candidate qnodes carrying k
+    idf(k) = ln(N / df(k)),   N = # distinct candidate qnodes
+    s(q)   = Σ_{k ∈ keys(q)} tf(k)·idf(k)
+    score  = s(q) / max_q s(q)  ∈ [0,1]   (0 when nothing anchors)
+
+    Engine-parity note: per-key weights are snapped to exact integer
+    micros (floor(tf·idf·1e6 + 0.5)) BEFORE the per-qnode sum, so the sum
+    is order-free integer arithmetic and the final score is one IEEE
+    division of exactly-representable integers — bit-stable across Spark,
+    DuckDB, and partition orders (the float-sum order would otherwise
+    differ in the last ulp between engines). Map-count semantics: tf-idf
+    uses key PRESENCE; the counts order classes for reconcile typing
+    (reconcile_response), mirroring how the reference uses top5_class_count
+    for its type payload (wikifier_service.py:116-142).
+
+    Plan shape at 100 TB: every aggregate is key- or vocabulary-scale
+    (distinct qnodes × map keys), broadcast back — the candidate table
+    never reshuffles.
+    """
+    w_expr = F.col(weight_col) if weight_col else F.lit(1)
+    qn = cands.select("qnode").distinct()
+    ck = qn.join(size_aware_broadcast(key_dim.select("qnode", "key"), dim_rows), "qnode")
+    n_q = qn.agg(F.count("*").alias("n_qnodes"))
+    df_k = ck.groupBy("key").agg(F.countDistinct("qnode").alias("df"))
+    tf_k = (
+        cands.where(F.col(anchor_col) == 1)
+        .groupBy("qnode")
+        .agg(F.sum(w_expr).alias("_aw"))
+        .join(ck, "qnode")
+        .groupBy("key")
+        .agg(F.sum("_aw").alias("tf"))
+    )
+    micro = (
+        tf_k.join(df_k, "key")
+        .crossJoin(F.broadcast(n_q))
+        .select(
+            "key",
+            F.floor(
+                F.col("tf") * F.log(F.col("n_qnodes") / F.col("df")) * 1e6 + F.lit(0.5)
+            ).cast("long").alias("_micro"),
+        )
+    )
+    s_q = (
+        ck.join(F.broadcast(micro), "key", "left")
+        .na.fill({"_micro": 0})
+        .groupBy("qnode")
+        .agg(F.sum("_micro").alias("_s"))
+    )
+    max_s = s_q.agg(F.max("_s").alias("_maxs"))
+    scores = s_q.crossJoin(F.broadcast(max_s)).select(
+        "qnode",
+        F.when(F.col("_maxs") == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("_s") / F.col("_maxs"), 6))
+        .alias("_w_out"),
+    )
+    return (
+        cands.join(size_aware_broadcast(scores, dim_rows), "qnode", "left")
+        .withColumn(out, F.coalesce(F.col("_w_out"), F.lit(0.0)))
+        .drop("_w_out")
+    )
+
+
+_NUM_RE = r"^-?[0-9]+(\.[0-9]+)?$"
+_DATE_RE = r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$"
+
+
+def context_match_array(
+    cands: DataFrame,
+    context_arr_col: str = "context_arr",
+    context_col: str = "context",
+    out: str = "context_score_array",
+) -> DataFrame:
+    """context-match over the per-entity TYPED PROPERTY ARRAY
+    (wikifier.py:159-162 with the context.jl aux file; SURVEY §1.2
+    array<struct<property,value,type>>): each of the candidate's context
+    entries is compared against EVERY pipe-separated token of the
+    mention's row context, taking the best per-property score —
+
+    - string:   levenshtein similarity, matched at ≥ 0.85
+    - quantity: relative closeness min/max ≥ 0.9 (non-numeric tokens 0)
+    - date:     calendar equality after parsing (non-date tokens 0)
+
+    Unlike context_match_typed this needs NO pre-pivoted property columns:
+    the property list rides the index row as an array, and the whole
+    comparison is higher-order array expressions (transform/array_max/
+    aggregate) — zero explodes, zero shuffles, whole-stage codegen.
+    Per-property scores are snapped to integer micros before the mean so
+    the fold is order-free and engine-exact (see semantic_tfidf_map).
+    Casts are regex-guarded: ANSI mode is on, and a context token like
+    'economy' must score 0 against a quantity property, not throw.
+    """
+    toks = F.split(F.col(context_col), r"\|")
+
+    def entry_score(s: Column) -> Column:
+        v = s["value"]
+
+        def per_tok(t: Column) -> Column:
+            str_sim = levenshtein_similarity(F.lower(t), F.lower(v))
+            str_score = F.when(str_sim >= CONTEXT_STRING_SIM_MIN, str_sim).otherwise(
+                F.lit(0.0)
+            )
+            tq = F.when(t.rlike(_NUM_RE), t).cast("double")
+            vq = F.when(v.rlike(_NUM_RE), v).cast("double")
+            # both sides must parse: Spark's greatest() skips NULLs (a
+            # non-numeric token would silently score 1.0) while DuckDB's
+            # propagates them — the explicit guard makes both engines agree
+            closeness = F.when(
+                tq.isNotNull() & vq.isNotNull(),
+                F.when(F.greatest(tq, vq) == 0, F.lit(1.0)).otherwise(
+                    F.least(tq, vq) / F.greatest(tq, vq)
+                ),
+            )
+            q_score = F.coalesce(
+                F.when(closeness >= CONTEXT_QUANTITY_MIN, closeness), F.lit(0.0)
+            )
+            d_score = F.coalesce(
+                F.when(
+                    F.to_date(F.when(t.rlike(_DATE_RE), t))
+                    == F.to_date(F.when(v.rlike(_DATE_RE), v)),
+                    F.lit(1.0),
+                ),
+                F.lit(0.0),
+            )
+            return F.coalesce(
+                F.when(s["vtype"] == "string", str_score)
+                .when(s["vtype"] == "quantity", q_score)
+                .otherwise(d_score),
+                F.lit(0.0),
+            )
+
+        return F.array_max(F.transform(toks, per_tok))
+
+    score_micros = F.transform(
+        F.col(context_arr_col),
+        lambda s: F.floor(
+            F.coalesce(entry_score(s), F.lit(0.0)) * 1e6 + F.lit(0.5)
+        ).cast("long"),
+    )
+    n_props = F.size(F.col(context_arr_col))
+    out_df = cands.withColumn("_ctx_micros", score_micros)
+    matched = F.size(F.filter(F.col("_ctx_micros"), lambda x: x > 0))
+    total = F.aggregate(
+        F.col("_ctx_micros"), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return (
+        out_df.withColumn("n_ctx_props", n_props)
+        .withColumn("n_ctx_matched", matched)
+        .withColumn(
+            out,
+            F.when(n_props == 0, F.lit(0.0)).otherwise(
+                F.round(total / (n_props * F.lit(1e6)), 6)
+            ),
+        )
+        .drop("_ctx_micros")
+    )
+
+
 def mosaic_features(cands: DataFrame, col: str = "kg_label") -> DataFrame:
     """mosaic-features --num-char --num-tokens (wikifier.py:190)."""
     return cands.withColumn("num_char", F.length(col)).withColumn(
@@ -409,6 +585,7 @@ def embedding_centroid_score(
     emb_col: str = "embedding",
     out: str = "pgt_centroid_score",
     weight_col: str | None = None,
+    dim_rows: int | None = None,
 ) -> DataFrame:
     """score-using-embedding --column-vector-strategy centroid
     (wikifier.py:191-195), LOF-free variant: centroid of anchor-candidate
@@ -434,7 +611,7 @@ def embedding_centroid_score(
         .groupBy("qnode")
         .agg(F.sum(w_expr).alias("w"))
     )
-    a_emb = anchor_counts.join(size_aware_broadcast(emb_dim, None), "qnode")
+    a_emb = anchor_counts.join(size_aware_broadcast(emb_dim, dim_rows), "qnode")
     centroid = (
         a_emb.select("w", F.posexplode(emb_col).alias("i", "v"))
         .groupBy("i")
@@ -445,7 +622,7 @@ def embedding_centroid_score(
     qn = (
         cands.select("qnode")
         .distinct()
-        .join(size_aware_broadcast(emb_dim, None), "qnode")
+        .join(size_aware_broadcast(emb_dim, dim_rows), "qnode")
         .select("qnode", F.posexplode(emb_col).alias("i", "v"))
     )
     scores = (
@@ -464,7 +641,7 @@ def embedding_centroid_score(
         )
         .select("qnode", out)
     )
-    return cands.join(size_aware_broadcast(scores, None), "qnode", "left").na.fill(
+    return cands.join(size_aware_broadcast(scores, dim_rows), "qnode", "left").na.fill(
         {out: 0.0}
     )
 
@@ -505,6 +682,7 @@ def embedding_centroid_lof_score(
     k: int = LOF_K,
     threshold: float = LOF_THRESHOLD,
     max_anchors: int = LOF_MAX_ANCHORS,
+    dim_rows: int | None = None,
 ) -> DataFrame:
     """score-using-embedding --column-vector-strategy centroid-of-lof
     (wikifier.py:191-195): LOF-filter the anchor embeddings, centroid the
@@ -529,7 +707,7 @@ def embedding_centroid_lof_score(
         cands.where(F.col(anchor_col) == 1)
         .select("qnode")
         .distinct()
-        .join(size_aware_broadcast(emb_dim, None), "qnode")
+        .join(size_aware_broadcast(emb_dim, dim_rows), "qnode")
     )
     w = Window.partitionBy(F.lit(1)).orderBy(F.md5("qnode"))
     anchors = (
@@ -558,7 +736,7 @@ def embedding_centroid_lof_score(
     qn = (
         cands.select("qnode")
         .distinct()
-        .join(size_aware_broadcast(emb_dim, None), "qnode")
+        .join(size_aware_broadcast(emb_dim, dim_rows), "qnode")
         .select("qnode", F.posexplode(emb_col).alias("i", "v"))
     )
     scores = (
@@ -577,7 +755,7 @@ def embedding_centroid_lof_score(
         )
         .select("qnode", out)
     )
-    return cands.join(size_aware_broadcast(scores, None), "qnode", "left").na.fill(
+    return cands.join(size_aware_broadcast(scores, dim_rows), "qnode", "left").na.fill(
         {out: 0.0}
     )
 

@@ -35,6 +35,66 @@ def entity_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), F.lit(7)),
         lambda d: ((F.col("p_partkey") * (d + 13)) % 97).cast("double") / 97.0,
     )
+    pk = F.col("p_partkey")
+    # class_count: multi-class entities (reference aux class_count map,
+    # wikifier/wikifier.py:24,136-137) — primary class lower(p_type) plus
+    # deterministic secondary classes so tf-idf sees overlapping class
+    # sets. Mirrored in oracles.CLASS_KEYS_CTE.
+    class_entries = F.filter(
+        F.array(
+            F.struct(
+                F.lower("p_type").alias("key"), ((pk % 5) + 1).cast("int").alias("cnt")
+            ),
+            F.struct(
+                F.when(pk % 2 == 0, F.concat(F.lit("grp"), (pk % 3).cast("string"))).alias("key"),
+                ((pk % 3) + 1).cast("int").alias("cnt"),
+            ),
+            F.struct(
+                F.when(pk % 13 == 0, F.concat(F.lit("rare"), (pk % 11).cast("string"))).alias("key"),
+                F.lit(1).cast("int").alias("cnt"),
+            ),
+        ),
+        lambda s: s["key"].isNotNull(),
+    )
+    # property_count: property-id → count map (reference aux
+    # property_count, wikifier/wikifier.py:138-139). Presence varies by
+    # partkey so the property distribution carries ranking signal.
+    # Mirrored in oracles.PROP_KEYS_CTE.
+    prop_entries = F.filter(
+        F.array(
+            F.struct(F.lit("P_brand").alias("key"), ((pk % 7) + 1).cast("int").alias("cnt")),
+            F.struct(F.lit("P_size").alias("key"), F.lit(1).cast("int").alias("cnt")),
+            F.struct(
+                F.when(pk % 2 == 0, F.lit("P_container")).alias("key"),
+                F.lit(2).cast("int").alias("cnt"),
+            ),
+            F.struct(
+                F.when(pk % 3 == 0, F.lit("P_mfgr")).alias("key"),
+                ((pk % 4) + 1).cast("int").alias("cnt"),
+            ),
+        ),
+        lambda s: s["key"].isNotNull(),
+    )
+    # typed per-entity context array (context.jl analogue; SURVEY §1.2
+    # array<struct<property,value,type>>). Mirrored in oracles.CTX_ENTRIES.
+    dob = F.date_add(F.to_date(F.lit("1992-01-01")), (pk % 1000).cast("int"))
+    ctx_entries = F.array(
+        F.struct(
+            F.lit("P_brand").alias("property"),
+            F.col("p_brand").alias("value"),
+            F.lit("string").alias("vtype"),
+        ),
+        F.struct(
+            F.lit("P_size").alias("property"),
+            F.col("p_size").cast("string").alias("value"),
+            F.lit("quantity").alias("vtype"),
+        ),
+        F.struct(
+            F.lit("P_dob").alias("property"),
+            dob.cast("string").alias("value"),
+            F.lit("date").alias("vtype"),
+        ),
+    )
     return part.select(
         F.col("p_partkey").alias("pkey"),
         F.concat(F.lit("Q"), F.col("p_partkey").cast("string")).alias("qnode"),
@@ -52,6 +112,26 @@ def entity_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_brand").alias("brand"),
         F.col("p_size").alias("size"),
         embedding.alias("embedding"),
+        F.map_from_entries(class_entries).alias("class_count"),
+        F.map_from_entries(prop_entries).alias("property_count"),
+        ctx_entries.alias("context_arr"),
+    )
+
+
+def class_key_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(qnode, key, cnt) exploded view of the class_count map — the shape
+    semantic_tfidf_map and reconcile typing consume."""
+    idx = entity_index(spark, sf_dir)
+    return idx.select(
+        "qnode", F.explode("class_count").alias("key", "cnt")
+    )
+
+
+def property_key_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(qnode, key, cnt) exploded view of the property_count map."""
+    idx = entity_index(spark, sf_dir)
+    return idx.select(
+        "qnode", F.explode("property_count").alias("key", "cnt")
     )
 
 

@@ -13,9 +13,11 @@ properties list).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+from ..plans.skew import size_aware_broadcast
 
 RECONCILE_QUERY_SCHEMA = StructType(
     [
@@ -60,4 +62,50 @@ def parse_reconcile_requests(requests: DataFrame, pids: list[str]) -> DataFrame:
         props.groupBy("request_id", "query", "type")
         .pivot("pid", pids)
         .agg(F.first("v"))
+    )
+
+
+def reconcile_response(
+    links: DataFrame,
+    class_key_dim: DataFrame,
+    score_col: str = "siamese_prediction",
+) -> DataFrame:
+    """Reconcile response typing (wikifier_service.py:116-142): every
+    matched candidate is labeled with its TOP class — the reference splits
+    the `top5_class_count` aux string ('Qxxx:count') and resolves the
+    class id to a human label, emitting {id, name, type:[{id,name}],
+    score, match}.
+
+    class_key_dim: (qnode, key, cnt) exploded class_count map. The top
+    class per qnode is max-by (cnt DESC, key ASC) — the count ordering is
+    exactly what top5_class_count encodes. The type label here is the
+    deterministic capitalization of the class key (the reference resolves
+    labels via an ES get_labels lookup; same broadcast-dimension shape).
+    Candidates with no class keep NULL type fields, mirroring the
+    reference's no-type response branch (wikifier_service.py:136-142).
+
+    Scale: the typing dimension is entity-scale (one row per qnode),
+    windowed per qnode (bounded partitions) and broadcast-joined back —
+    the links table never reshuffles.
+    """
+    w = Window.partitionBy("qnode").orderBy(F.desc("cnt"), F.asc("key"))
+    top1 = (
+        class_key_dim.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(
+            "qnode",
+            F.col("key").alias("type_id"),
+            F.concat(
+                F.upper(F.substring("key", 1, 1)), F.expr("substring(key, 2)")
+            ).alias("type_name"),
+        )
+    )
+    return links.join(size_aware_broadcast(top1, None), "qnode", "left").select(
+        "row",
+        F.col("qnode").alias("id"),
+        F.col("kg_label").alias("name"),
+        "type_id",
+        "type_name",
+        F.round(F.col(score_col), 6).alias("score"),
+        "match",
     )

@@ -70,6 +70,30 @@ def lsh_bucket(vec: Column, n_planes: int = N_PLANES) -> Column:
     return bucket
 
 
+def lsh_bucket_gated(vec: Column, depth: Column, max_planes: int) -> Column:
+    """Hyperplane signature whose WIDTH is data-dependent: only the first
+    `depth` plane bits contribute (plane p gated on p < depth). Lets a
+    per-group bucketing depth adapt to the group's size — depth 0 puts
+    everything in bucket 0 — while staying one static codegen'd
+    expression (no per-group expression rebuild, no extra jobs)."""
+    def _mk(pp: int):
+        # zip_with requires an exactly-2-arg lambda; bind the plane index
+        # via closure, not a default arg
+        return lambda x, i: x.cast("double") * _plane_weight(pp, i)
+
+    bucket: Column = F.lit(0).cast("long")
+    for p in range(max_planes):
+        dot = F.aggregate(
+            F.zip_with(vec, F.sequence(F.lit(0), F.size(vec) - 1), _mk(p)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(
+            (F.lit(p) < depth) & (F.round(dot, 6) >= 0), F.lit(2 ** p).cast("long")
+        ).otherwise(0)
+    return bucket
+
+
 def lsh_topk(
     embs: DataFrame,
     queries: DataFrame,

@@ -1,5 +1,10 @@
 """DuckDB oracle SQL for every driver-checked query in queries.py.
 
+Parquet handoff: features_pseudo_gt_mlp_anchor reads the MLP scores the
+Spark query materialized under ORACLE_CACHE (keyed by the part-table row
+count), so the non-SQL-expressible MLP input feeds an exactly-checked SQL
+threshold.
+
 Shared CTE fragments mirror operators/linking_fixture.py and the
 normalization in functions/strings.py verbatim; any change there must be
 reflected here (tests/test_oracle_parity.py runs both sides at sf0.001 and
@@ -7,6 +12,10 @@ asserts frame equality before the driver ever sees them).
 """
 
 from __future__ import annotations
+
+import os
+
+ORACLE_CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".oracle_cache")
 
 # clean_label (functions/strings.py): lower → non-alnum runs → space → trim
 CLEAN = "trim(regexp_replace(lower({col}), '[^a-z0-9]+', ' ', 'g'))"
@@ -209,6 +218,92 @@ def _tfidf_ctes(prefix: str, src: str, feature: str, anchor: str) -> str:
 """
 
 
+# class_count / property_count maps of the linking fixture, pre-exploded to
+# (qnode, key, cnt) — mirrors linking_fixture.entity_index's
+# map_from_entries derivations verbatim
+CLASS_KEYS_CTE = """
+class_keys AS MATERIALIZED (
+    SELECT 'Q' || CAST(p_partkey AS VARCHAR) AS qnode,
+           lower(p_type) AS key,
+           CAST(p_partkey % 5 + 1 AS INTEGER) AS cnt
+    FROM part
+    UNION ALL
+    SELECT 'Q' || CAST(p_partkey AS VARCHAR),
+           'grp' || CAST(p_partkey % 3 AS VARCHAR),
+           CAST(p_partkey % 3 + 1 AS INTEGER)
+    FROM part WHERE p_partkey % 2 = 0
+    UNION ALL
+    SELECT 'Q' || CAST(p_partkey AS VARCHAR),
+           'rare' || CAST(p_partkey % 11 AS VARCHAR),
+           1
+    FROM part WHERE p_partkey % 13 = 0
+)
+"""
+
+PROP_KEYS_CTE = """
+prop_keys AS MATERIALIZED (
+    SELECT 'Q' || CAST(p_partkey AS VARCHAR) AS qnode, 'P_brand' AS key,
+           CAST(p_partkey % 7 + 1 AS INTEGER) AS cnt
+    FROM part
+    UNION ALL
+    SELECT 'Q' || CAST(p_partkey AS VARCHAR), 'P_size', 1 FROM part
+    UNION ALL
+    SELECT 'Q' || CAST(p_partkey AS VARCHAR), 'P_container', 2
+    FROM part WHERE p_partkey % 2 = 0
+    UNION ALL
+    SELECT 'Q' || CAST(p_partkey AS VARCHAR), 'P_mfgr',
+           CAST(p_partkey % 4 + 1 AS INTEGER)
+    FROM part WHERE p_partkey % 3 = 0
+)
+"""
+
+# typed per-entity context entries (context.jl analogue) — mirrors
+# linking_fixture.entity_index's ctx_entries array
+CTX_ENTRIES_CTE = """
+ctx_entries AS MATERIALIZED (
+    SELECT 'Q' || CAST(p_partkey AS VARCHAR) AS qnode,
+           'P_brand' AS property, p_brand AS value, 'string' AS vtype
+    FROM part
+    UNION ALL
+    SELECT 'Q' || CAST(p_partkey AS VARCHAR),
+           'P_size', CAST(p_size AS VARCHAR), 'quantity'
+    FROM part
+    UNION ALL
+    SELECT 'Q' || CAST(p_partkey AS VARCHAR),
+           'P_dob',
+           CAST(DATE '1992-01-01' + CAST(p_partkey % 1000 AS INTEGER) AS VARCHAR),
+           'date'
+    FROM part
+)
+"""
+
+
+def _tfidf_map_ctes(prefix: str, src: str, keys: str, anchor: str) -> str:
+    """Mirror of operators/features.py::semantic_tfidf_map — per-key
+    weights snapped to integer micros before the order-free per-qnode sum,
+    then one exact-integer division (engine-bit-stable)."""
+    return f"""
+{prefix}qn AS MATERIALIZED (SELECT DISTINCT qnode FROM {src}),
+{prefix}ck AS MATERIALIZED (SELECT k.qnode, k.key FROM {keys} k JOIN {prefix}qn USING (qnode)),
+{prefix}nq AS MATERIALIZED (SELECT count(*) AS n_qnodes FROM {prefix}qn),
+{prefix}df AS MATERIALIZED (SELECT key, count(DISTINCT qnode) AS df FROM {prefix}ck GROUP BY key),
+{prefix}tf AS MATERIALIZED (
+    SELECT key, count(*) AS tf
+    FROM (SELECT qnode FROM {src} WHERE {anchor} = 1) s JOIN {keys} k USING (qnode)
+    GROUP BY key),
+{prefix}mi AS MATERIALIZED (
+    SELECT key, CAST(floor(tf * ln(n_qnodes * 1.0 / df) * 1e6 + 0.5) AS BIGINT) AS micro
+    FROM {prefix}tf JOIN {prefix}df USING (key) CROSS JOIN {prefix}nq),
+{prefix}s AS MATERIALIZED (
+    SELECT qnode, sum(coalesce(micro, 0)) AS s
+    FROM {prefix}ck LEFT JOIN {prefix}mi USING (key) GROUP BY qnode),
+{prefix}w AS MATERIALIZED (
+    SELECT qnode, CASE WHEN max(s) OVER () = 0 THEN 0.0
+                       ELSE round(s * 1.0 / max(s) OVER (), 6) END AS w
+    FROM {prefix}s)
+"""
+
+
 FEATURE_CTES = (
     LINKING_CTES
     + f""",
@@ -263,12 +358,17 @@ f3 AS MATERIALIZED (
     SELECT *, round((brand_score + class_score + size_score) / 3.0, 6) AS context_score
     FROM f3a
 ),
+f4cells AS MATERIALIZED (SELECT count(DISTINCT row) AS n_cells FROM f3),
 f4 AS MATERIALIZED (
-    SELECT *,
-           CASE WHEN ignore_candidate = 0
-                 AND percent_rank() OVER (PARTITION BY ignore_candidate ORDER BY context_score) >= 0.75
-                THEN 1 ELSE 0 END AS kth_percenter
-    FROM f3
+    -- minimum_cells=10 gate mirrors features.kth_percentile's default:
+    -- a column with < 10 candidate-bearing cells emits no anchors
+    SELECT * EXCLUDE (n_cells) FROM (
+        SELECT f3.*, f4cells.n_cells,
+               CASE WHEN ignore_candidate = 0
+                     AND percent_rank() OVER (PARTITION BY ignore_candidate ORDER BY context_score) >= 0.75
+                     AND n_cells >= 10
+                    THEN 1 ELSE 0 END AS kth_percenter
+        FROM f3 CROSS JOIN f4cells)
 ),
 f5 AS MATERIALIZED (
     -- integer-micros product (mirrors operators/features.py::pgr_rts):
@@ -280,10 +380,12 @@ f5 AS MATERIALIZED (
              * CAST(floor(retrieval_score * 1e6 + 0.5) AS BIGINT)) / 1e12 AS pgr_rts
     FROM f4
 ),
-{_tfidf_ctes("c", "f5", "class", "kth_percenter")},
-f6 AS MATERIALIZED (SELECT f5.*, coalesce(cw.w, 0.0) AS smc_class_score FROM f5 LEFT JOIN cw USING (class)),
-{_tfidf_ctes("b", "f6", "brand", "kth_percenter")},
-f7 AS MATERIALIZED (SELECT f6.*, coalesce(bw.w, 0.0) AS smc_property_score FROM f6 LEFT JOIN bw USING (brand)),
+{CLASS_KEYS_CTE},
+{PROP_KEYS_CTE},
+{_tfidf_map_ctes("c", "f5", "class_keys", "kth_percenter")},
+f6 AS MATERIALIZED (SELECT f5.*, coalesce(cw.w, 0.0) AS smc_class_score FROM f5 LEFT JOIN cw USING (qnode)),
+{_tfidf_map_ctes("b", "f6", "prop_keys", "kth_percenter")},
+f7 AS MATERIALIZED (SELECT f6.*, coalesce(bw.w, 0.0) AS smc_property_score FROM f6 LEFT JOIN bw USING (qnode)),
 f8 AS MATERIALIZED (
     SELECT *, length(kg_label) AS num_char, len(string_split(kg_label, ' ')) AS num_tokens
     FROM f7
@@ -331,12 +433,12 @@ f11 AS MATERIALIZED (
                 ELSE round(dot / (sqrt(nv) * sqrt(nc)), 6) END AS pgt_centroid_score
     FROM f10 LEFT JOIN csums USING (row, qnode)
 ),
-{_tfidf_ctes("pc", "f11", "class", "pseudo_gt")},
+{_tfidf_map_ctes("pc", "f11", "class_keys", "pseudo_gt")},
 f12 AS MATERIALIZED (SELECT f11.*, coalesce(pcw.w, 0.0) AS pgt_class_count_tf_idf_score
-        FROM f11 LEFT JOIN pcw USING (class)),
-{_tfidf_ctes("pb", "f12", "brand", "pseudo_gt")},
+        FROM f11 LEFT JOIN pcw USING (qnode)),
+{_tfidf_map_ctes("pb", "f12", "prop_keys", "pseudo_gt")},
 f13 AS MATERIALIZED (SELECT f12.*, coalesce(pbw.w, 0.0) AS pgt_property_count_tf_idf_score
-        FROM f12 LEFT JOIN pbw USING (brand))
+        FROM f12 LEFT JOIN pbw USING (qnode))
 """
 )
 
@@ -371,11 +473,13 @@ _BAND_SELECTS = "\nUNION ALL\n".join(
     for b in range(4)
 )
 
+# 60-bit SimHash (full md5-derived hash width), 6 bands x 10 bits —
+# mirrors operators/dedup.py SIMHASH_BITS/SIMHASH_BANDS
 _SIMHASH_BITSUMS = ",\n           ".join(
-    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(32)
+    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(60)
 )
 _SIMHASH_RECOMBINE = " + ".join(
-    f"(CASE WHEN b{i} > 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END)" for i in range(32)
+    f"(CASE WHEN b{i} > 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END)" for i in range(60)
 )
 
 _PLANE_DOT = (
@@ -391,6 +495,25 @@ def _lsh_bucket_sql(n_planes: int) -> str:
         f" THEN CAST({2**p} AS BIGINT) ELSE 0 END)"
         for p in range(n_planes)
     )
+
+
+def _lsh_bucket_gated_sql(max_planes: int) -> str:
+    """Mirror of operators/similarity.py::lsh_bucket_gated (plane p gated
+    on p < depth)."""
+    return " + ".join(
+        f"(CASE WHEN {p} < depth AND round({_PLANE_DOT.format(p=p)}, 6) >= 0"
+        f" THEN CAST({2**p} AS BIGINT) ELSE 0 END)"
+        for p in range(max_planes)
+    )
+
+
+# adaptive sub-bucket depth: smallest d with bn <= 64 * 2^d (integer
+# threshold chain — no float log2 boundary; mirrors dedup.py)
+_COSINE_DEPTH = (
+    "CASE WHEN bn <= 64 THEN 0 "
+    + " ".join(f"WHEN bn <= {64 * 2**d} THEN {d}" for d in range(1, 12))
+    + " ELSE 12 END"
+)
 
 
 _LSH_BUCKET = _lsh_bucket_sql(8)
@@ -474,7 +597,7 @@ ORACLES: dict[str, str] = {
                {CLEAN.format(col="p_brand || ' ' || p_name || ' ' || p_type")} AS label_clean
         FROM part
     """,
-    "kgtk_index_build": """
+    "kgtk_index_build": r"""
         WITH edges AS MATERIALIZED (
             SELECT 'Q' || CAST(p_partkey AS VARCHAR) AS node1, 'label' AS label,
                    lower(p_name) AS node2 FROM part
@@ -487,22 +610,73 @@ ORACLES: dict[str, str] = {
             UNION ALL
             SELECT 'Q' || CAST(p_partkey AS VARCHAR), 'P31', lower(p_type) FROM part
             UNION ALL
+            SELECT 'Q' || CAST(p_partkey AS VARCHAR), 'P31',
+                   'grp' || CAST(p_partkey % 3 AS VARCHAR)
+            FROM part WHERE p_partkey % 2 = 0
+            UNION ALL
+            SELECT 'Q' || CAST(p_partkey AS VARCHAR), 'P31', lower(p_type)
+            FROM part WHERE p_partkey % 5 = 0
+            UNION ALL
+            SELECT 'Q' || CAST(p_partkey AS VARCHAR), 'P_brand', p_brand FROM part
+            UNION ALL
+            SELECT 'Q' || CAST(p_partkey AS VARCHAR), 'P_brand', p_brand
+            FROM part WHERE p_partkey % 3 = 0
+            UNION ALL
+            SELECT 'Q' || CAST(p_partkey AS VARCHAR), 'P_size',
+                   CAST(p_size AS VARCHAR) FROM part
+            UNION ALL
+            SELECT 'Q' || CAST(p_partkey AS VARCHAR), 'P_dob',
+                   CAST(DATE '1992-01-01' + CAST(p_partkey % 1000 AS INTEGER) AS VARCHAR)
+            FROM part
+            UNION ALL
             SELECT 'Q' || CAST(p_partkey AS VARCHAR), 'description',
                    'a ' || lower(p_type) || ' of brand ' || p_brand FROM part
             UNION ALL
             SELECT 'Q' || CAST(p_partkey AS VARCHAR), 'pagerank',
                    CAST(p_retailprice / 1000.0 AS VARCHAR) FROM part
+        ),
+        base AS MATERIALIZED (
+            SELECT node1 AS qnode,
+                   max(CASE WHEN label = 'label' THEN node2 END) AS label,
+                   max(CASE WHEN label = 'label' THEN node2 END) || '|' ||
+                   array_to_string(list_sort(list_distinct(
+                       list(node2) FILTER (WHERE label = 'alias'))), '|') AS aliases,
+                   max(CASE WHEN label = 'P31' THEN node2 END) AS class,
+                   max(CASE WHEN label = 'description' THEN node2 END) AS description,
+                   round(max(CASE WHEN label = 'pagerank'
+                                  THEN CAST(node2 AS DOUBLE) END), 6) AS pagerank
+            FROM edges GROUP BY node1
+        ),
+        pv AS MATERIALIZED (
+            SELECT node1, label, node2, count(*) AS cnt
+            FROM edges WHERE label LIKE 'P%' GROUP BY 1, 2, 3
+        ),
+        cls AS MATERIALIZED (
+            SELECT node1 AS qnode,
+                   array_to_string(list_sort(
+                       list(node2 || ':' || CAST(cnt AS VARCHAR))), '|') AS class_count_str
+            FROM pv WHERE label = 'P31' GROUP BY node1
+        ),
+        pr AS MATERIALIZED (
+            SELECT node1 AS qnode,
+                   array_to_string(list_sort(
+                       list(label || ':' || CAST(cnt AS VARCHAR))), '|') AS property_count_str
+            FROM (SELECT node1, label, sum(cnt) AS cnt FROM pv GROUP BY 1, 2)
+            GROUP BY node1
+        ),
+        ctx AS MATERIALIZED (
+            SELECT node1 AS qnode,
+                   array_to_string(list_sort(list(label || ':' || node2 || ':' ||
+                       CASE WHEN regexp_matches(node2, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$') THEN 'date'
+                            WHEN regexp_matches(node2, '^-?[0-9]+(\.[0-9]+)?$') THEN 'quantity'
+                            ELSE 'string' END)), '|') AS context_str
+            FROM pv WHERE label <> 'P31' GROUP BY node1
         )
-        SELECT node1 AS qnode,
-               max(CASE WHEN label = 'label' THEN node2 END) AS label,
-               max(CASE WHEN label = 'label' THEN node2 END) || '|' ||
-               array_to_string(list_sort(list_distinct(
-                   list(node2) FILTER (WHERE label = 'alias'))), '|') AS aliases,
-               max(CASE WHEN label = 'P31' THEN node2 END) AS class,
-               max(CASE WHEN label = 'description' THEN node2 END) AS description,
-               round(max(CASE WHEN label = 'pagerank'
-                              THEN CAST(node2 AS DOUBLE) END), 6) AS pagerank
-        FROM edges GROUP BY node1
+        SELECT base.*, cls.class_count_str, pr.property_count_str, ctx.context_str
+        FROM base
+        LEFT JOIN cls USING (qnode)
+        LEFT JOIN pr USING (qnode)
+        LEFT JOIN ctx USING (qnode)
     """,
     # reconcile_json_pivot: the Spark side round-trips through real JSON
     # (from_json → explode → pivot); the oracle states the expected table
@@ -523,13 +697,13 @@ ORACLES: dict[str, str] = {
     + "SELECT row, label_clean, qnode, kg_label, pagerank, method, retrieval_score FROM trigram_m",
     "retrieval_fuzzy": LINKING_CTES
     + "SELECT row, label_clean, qnode, kg_label, pagerank, method, retrieval_score FROM fuzzy_m",
-    # --isa class restriction (wikifier.py:97-113): same chains over the
-    # class-filtered index; 'standard' is one of the six pinned p_type
-    # classes so the query is non-empty at every SF
-    "retrieval_exact_isa": linking_ctes("standard")
-    + "SELECT row, label_clean, qnode, kg_label, pagerank, method, retrieval_score FROM exact_m",
-    "retrieval_fuzzy_isa": linking_ctes("standard")
-    + "SELECT row, label_clean, qnode, kg_label, pagerank, method, retrieval_score FROM fuzzy_m",
+    # --isa class restriction (wikifier.py:97-113): exact + fuzzy chains
+    # over the class-filtered index in one board entry; 'standard' is one
+    # of the six pinned p_type classes so the query is non-empty at any SF
+    "retrieval_isa": linking_ctes("standard")
+    + """SELECT row, label_clean, qnode, kg_label, pagerank, method, retrieval_score FROM exact_m
+         UNION ALL
+         SELECT row, label_clean, qnode, kg_label, pagerank, method, retrieval_score FROM fuzzy_m""",
     "candidates_dedup": LINKING_CTES
     + """
         SELECT row, label_clean, qnode,
@@ -545,11 +719,13 @@ ORACLES: dict[str, str] = {
     + """SELECT row, qnode, label_clean, kg_label, monge_elkan,
                 monge_elkan_aliases, jaro_winkler, levenshtein FROM sf""",
     "features_singleton_hc": FEATURE_CTES
-    + "SELECT row, qnode, singleton, best_str_sim, ignore_candidate FROM f2",
+    + """SELECT row, qnode, singleton, best_str_sim, ignore_candidate,
+                num_char, num_tokens FROM f8""",
     "features_context_match": FEATURE_CTES
-    + "SELECT row, qnode, brand_match, class_match, size_match, context_score FROM f3",
+    + """SELECT row, qnode, brand_match, class_match, size_match, context_score,
+                context_score_3 FROM f10""",
     "features_kth_percentile": FEATURE_CTES
-    + "SELECT row, qnode, kth_percenter FROM f4",
+    + "SELECT row, qnode, kth_percenter, pgr_rts FROM f5",
     "features_context_match_typed": f"""
         WITH base AS MATERIALIZED (
             SELECT p_partkey AS row,
@@ -584,7 +760,7 @@ ORACLES: dict[str, str] = {
                    AS context_score_typed
         FROM b3
     """,
-    "features_kth_percentile_per_column": """
+    "features_per_column_thresholds": """
         WITH base AS MATERIALIZED (
             SELECT o_orderpriority AS "column", o_orderkey AS row,
                    CAST(floor(o_totalprice) AS BIGINT) AS score,
@@ -602,35 +778,19 @@ ORACLES: dict[str, str] = {
                      AND percent_rank() OVER (PARTITION BY "column", ignore_candidate
                                               ORDER BY score) >= 0.75
                      AND n_cells >= 10
-                    THEN 1 ELSE 0 END AS kth_percenter
-        FROM base JOIN cells USING ("column")
-    """,
-    "features_pseudo_gt_per_column": """
-        WITH base AS MATERIALIZED (
-            SELECT o_orderpriority AS "column", o_orderkey AS row,
-                   CAST(floor(o_totalprice) AS BIGINT) AS score
-            FROM orders
-            UNION ALL
-            SELECT '0-TINY', 900000001 + i, CAST(i * 1000 + 1 AS BIGINT)
-            FROM generate_series(0, 4) t(i)
-        )
-        SELECT "column", row,
+                    THEN 1 ELSE 0 END AS kth_percenter,
                CASE WHEN CAST(score AS HUGEINT) * count(*) OVER (PARTITION BY "column")
                          >= sum(CAST(score AS HUGEINT)) OVER (PARTITION BY "column")
                      AND score > 0
                     THEN 1 ELSE 0 END AS pseudo_gt
-        FROM base
+        FROM base JOIN cells USING ("column")
     """,
-    "features_pgr_rts": FEATURE_CTES + "SELECT row, qnode, pgr_rts FROM f5",
-    "features_smc_tfidf": FEATURE_CTES
+    "features_smc_tfidf_map": FEATURE_CTES
     + "SELECT row, qnode, smc_class_score, smc_property_score FROM f7",
-    "features_mosaic": FEATURE_CTES + "SELECT row, qnode, num_char, num_tokens FROM f8",
     "features_pseudo_gt": FEATURE_CTES + "SELECT row, qnode, pseudo_gt FROM f9",
-    "features_context_relevant": FEATURE_CTES
-    + "SELECT row, qnode, context_score_3 FROM f10",
     "features_centroid": FEATURE_CTES
     + "SELECT row, qnode, pgt_centroid_score FROM f11",
-    "features_pgt_tfidf": FEATURE_CTES
+    "features_pgt_tfidf_map": FEATURE_CTES
     + """SELECT row, qnode, pgt_class_count_tf_idf_score,
                 pgt_property_count_tf_idf_score FROM f13""",
     # ranker_pseudo_gt_mlp / ranker_siamese_mlp / wikify_end_to_end:
@@ -668,6 +828,98 @@ ORACLES: dict[str, str] = {
                        ORDER BY retrieval_score DESC, qnode ASC) AS rank
             FROM cand)
         WHERE rank <= 3
+    """,
+    # typed property-ARRAY context match — candidate context entries
+    # (ctx_entries) × mention context tokens, best score per property,
+    # integer-micros mean (mirrors features.context_match_array)
+    "features_context_match_array": FEATURE_CTES
+    + f""",
+    {CTX_ENTRIES_CTE},
+    ctoks AS MATERIALIZED (
+        SELECT row, unnest(string_split(context, '|')) AS t FROM cm
+    ),
+    cprops AS MATERIALIZED (
+        SELECT c.row, c.qnode, e.property,
+               CAST(floor(max(
+                   CASE WHEN e.vtype = 'string' THEN
+                            (CASE WHEN ({_lev_sim("lower(t)", "lower(e.value)")}) >= 0.85
+                                  THEN ({_lev_sim("lower(t)", "lower(e.value)")}) ELSE 0.0 END)
+                        WHEN e.vtype = 'quantity' THEN
+                            (CASE WHEN regexp_matches(t, '^-?[0-9]+(\\.[0-9]+)?$')
+                                   AND regexp_matches(e.value, '^-?[0-9]+(\\.[0-9]+)?$')
+                                  THEN (CASE WHEN (CASE WHEN greatest(CAST(t AS DOUBLE), CAST(e.value AS DOUBLE)) = 0 THEN 1.0
+                                                   ELSE least(CAST(t AS DOUBLE), CAST(e.value AS DOUBLE))
+                                                        / greatest(CAST(t AS DOUBLE), CAST(e.value AS DOUBLE)) END) >= 0.9
+                                              THEN (CASE WHEN greatest(CAST(t AS DOUBLE), CAST(e.value AS DOUBLE)) = 0 THEN 1.0
+                                                   ELSE least(CAST(t AS DOUBLE), CAST(e.value AS DOUBLE))
+                                                        / greatest(CAST(t AS DOUBLE), CAST(e.value AS DOUBLE)) END)
+                                              ELSE 0.0 END)
+                                  ELSE 0.0 END)
+                        ELSE
+                            (CASE WHEN regexp_matches(t, '^[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}$')
+                                   AND regexp_matches(e.value, '^[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}$')
+                                   AND CAST(t AS DATE) = CAST(e.value AS DATE)
+                                  THEN 1.0 ELSE 0.0 END)
+                   END) * 1e6 + 0.5) AS BIGINT) AS micro
+        FROM (SELECT DISTINCT row, qnode FROM cand) c
+        JOIN ctx_entries e USING (qnode)
+        JOIN ctoks USING (row)
+        GROUP BY 1, 2, 3
+    )
+    SELECT row, qnode,
+           CAST(count(*) AS BIGINT) AS n_ctx_props,
+           CAST(count(*) FILTER (WHERE micro > 0) AS BIGINT) AS n_ctx_matched,
+           round(sum(micro) / (count(*) * 1e6), 6) AS context_score_array
+    FROM cprops GROUP BY row, qnode
+    """,
+    # MLP-anchored pseudo-GT: the Spark query wrote its pseudo-GT MLP
+    # scores (exact integer micros) to the shared parquet handoff; the
+    # oracle reads the SAME file and checks the downstream per-mean
+    # boolean exactly (reference anchoring, wikifier.py:184-186)
+    "features_pseudo_gt_mlp_anchor": FEATURE_CTES
+    + f""",
+    mlp AS MATERIALIZED (
+        SELECT row, qnode, pred_micro
+        FROM read_parquet('{ORACLE_CACHE}/pseudo_gt_pred/*/*.parquet')
+        WHERE n_part = (SELECT count(*) FROM part)
+    ),
+    mlpb AS MATERIALIZED (
+        SELECT f7.row, f7.qnode, f7.smc_class_score, mlp.pred_micro
+        FROM f7 JOIN mlp USING (row, qnode)
+    )
+    SELECT row, qnode,
+           CASE WHEN CAST(pred_micro AS HUGEINT) * count(*) OVER ()
+                     >= sum(CAST(pred_micro AS HUGEINT)) OVER ()
+                 AND smc_class_score > 0
+                THEN 1 ELSE 0 END AS pseudo_gt_mlp
+    FROM mlpb
+    """,
+    # reconcile response typing (wikifier_service.py:116-142): top-5 links
+    # + match rule + top class per candidate (class_count order) resolved
+    # to a type label
+    "reconcile_response": FEATURE_CTES
+    + """,
+    rrt AS MATERIALIZED (
+        SELECT qnode, key AS type_id,
+               upper(substr(key, 1, 1)) || substr(key, 2) AS type_name
+        FROM (SELECT qnode, key,
+                     row_number() OVER (PARTITION BY qnode
+                         ORDER BY cnt DESC, key ASC) AS rk
+              FROM class_keys)
+        WHERE rk = 1
+    ),
+    rlk AS MATERIALIZED (
+        SELECT row, qnode, kg_label, retrieval_score, rank FROM (
+            SELECT row, qnode, kg_label, retrieval_score,
+                   row_number() OVER (PARTITION BY row
+                       ORDER BY retrieval_score DESC, qnode ASC) AS rank
+            FROM cand)
+        WHERE rank <= 5
+    )
+    SELECT row, qnode AS id, kg_label AS name, type_id, type_name,
+           round(retrieval_score, 6) AS score,
+           CASE WHEN retrieval_score > 0.95 AND rank = 1 THEN 1 ELSE 0 END AS match
+    FROM rlk LEFT JOIN rrt USING (qnode)
     """,
     "dedup_exact": f"""
         WITH h AS MATERIALIZED (
@@ -717,8 +969,8 @@ ORACLES: dict[str, str] = {
             SELECT doc_id, {_SIMHASH_RECOMBINE} AS simhash FROM bitsums
         ),
         banded AS MATERIALIZED (
-            SELECT doc_id, simhash, b AS band, (simhash >> (b * 8)) & 255 AS bh
-            FROM sig, unnest([0, 1, 2, 3]) AS t(b)
+            SELECT doc_id, simhash, b AS band, (simhash >> (b * 10)) & 1023 AS bh
+            FROM sig, unnest([0, 1, 2, 3, 4, 5]) AS t(b)
         )
         SELECT a, b, hamming FROM (
             SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
@@ -761,10 +1013,9 @@ ORACLES: dict[str, str] = {
         ),
         sz AS MATERIALIZED (SELECT blk, count(*) AS bn FROM e GROUP BY blk),
         eb AS MATERIALIZED (
-            SELECT vec_id, blk, v,
-                   CASE WHEN bn <= 64 THEN CAST(-1 AS BIGINT)
-                        ELSE {_lsh_bucket_sql(3)} END AS sub
-            FROM e JOIN sz USING (blk)
+            SELECT vec_id, blk, v, {_lsh_bucket_gated_sql(12)} AS sub
+            FROM (SELECT vec_id, blk, v, {_COSINE_DEPTH} AS depth
+                  FROM e JOIN sz USING (blk))
         )
         SELECT a.vec_id AS a, b.vec_id AS b,
                round(list_cosine_similarity(a.v, b.v), 6) AS cosine
@@ -806,33 +1057,36 @@ ORACLES: dict[str, str] = {
                 ORDER BY cosine DESC, n_id ASC) AS rank FROM s)
         WHERE rank <= 5
     """,
-    "text_lang_id": f"""
-        WITH t AS MATERIALIZED (SELECT doc_id, {TOKS} AS toks FROM documents),
-        s AS MATERIALIZED (
-            SELECT doc_id, {_LANG_SCORES}
-            FROM t
+    # lang-ID + quality + token counts + fingerprints in one scan (mirrors
+    # operators/text.py::text_profile; per-family semantics unchanged from
+    # the r01/r02 per-operator oracles)
+    "text_analysis": f"""
+        WITH tb AS MATERIALIZED (
+            SELECT doc_id, text, {NORM_TEXT} AS t, {TOKS} AS toks FROM documents
+        ),
+        m AS MATERIALIZED (
+            SELECT doc_id,
+                   {_LANG_SCORES},
+                   length(t) AS n_chars,
+                   len(toks) AS n_toks,
+                   length(regexp_replace(t, '[A-Za-z0-9\\s]+', '', 'g')) AS n_punct,
+                   len(list_filter(toks, x -> list_contains({_ALL_STOP!r}, x))) AS n_stop,
+                   len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens,
+                   length(text) AS n_chars_raw,
+                   md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           [CAST(ascii(substr(t, i, 1)) AS BIGINT)
+                            for i in generate_series(1, length(t))]),
+                       (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_hash
+            FROM tb
         )
         SELECT doc_id, score_de, score_en, score_es, score_fr,
                CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'unknown'
                     WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
                     WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
                     WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
-                    ELSE 'fr' END AS pred_lang
-        FROM s
-    """,
-    "text_quality_score": f"""
-        WITH base AS MATERIALIZED (
-            SELECT doc_id, {NORM_TEXT} AS t, {TOKS} AS toks FROM documents
-        ),
-        m AS MATERIALIZED (
-            SELECT doc_id,
-                   length(t) AS n_chars,
-                   len(toks) AS n_toks,
-                   length(regexp_replace(t, '[A-Za-z0-9\\s]+', '', 'g')) AS n_punct,
-                   len(list_filter(toks, x -> list_contains({_ALL_STOP!r}, x))) AS n_stop
-            FROM base
-        )
-        SELECT doc_id,
+                    ELSE 'fr' END AS pred_lang,
                n_chars AS n_chars_norm,
                n_toks AS n_tokens,
                round(CASE WHEN n_chars = 0 THEN 1.0 ELSE n_punct * 1.0 / n_chars END, 6) AS punct_ratio,
@@ -847,25 +1101,9 @@ ORACLES: dict[str, str] = {
                        THEN 1 ELSE 0 END) * 0.2
                + (CASE WHEN (CASE WHEN n_toks = 0 THEN 0.0
                                   ELSE (n_chars - (n_toks - 1)) * 1.0 / n_toks END) BETWEEN 2.0 AND 12.0
-                       THEN 1 ELSE 0 END) * 0.2, 6) AS quality
+                       THEN 1 ELSE 0 END) * 0.2, 6) AS quality,
+               n_toks AS ws_tokens, bpe_tokens, n_chars_raw, fingerprint, rolling_hash
         FROM m
-    """,
-    "text_token_counts": f"""
-        SELECT doc_id,
-               len(list_filter(string_split({NORM_TEXT}, ' '), x -> x <> '')) AS ws_tokens,
-               len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens,
-               length(text) AS n_chars_raw
-        FROM documents
-    """,
-    "text_fingerprint": f"""
-        SELECT doc_id,
-               md5(array_to_string(list_sort(list_distinct({TOKS})), ' ')) AS fingerprint,
-               list_reduce(
-                   list_prepend(CAST(0 AS BIGINT),
-                       [CAST(ascii(substr({NORM_TEXT}, i, 1)) AS BIGINT)
-                        for i in generate_series(1, length({NORM_TEXT}))]),
-                   (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_hash
-        FROM documents
     """,
     "multimodal_binary_features": """
         SELECT doc_id,

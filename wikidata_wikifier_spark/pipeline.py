@@ -69,12 +69,17 @@ def wikify(
     # their row-level counterparts (integer sums, no float order effects)
     lab_w = m.groupBy("label_clean").agg(F.count(F.lit(1)).alias("w"))
 
+    from .plans.skew import size_aware_broadcast
+
     lab_cands, idx_rows = cand_ops.label_candidates(
         m.select("label_clean"), index.select("qnode", "label", "aliases", "pagerank")
     )
+    # every index-side dimension join carries the exact idx_rows hint so
+    # the broadcast degrades to a shuffle join past BROADCAST_MAX_ROWS
+    # (a ~100M-entity index must NOT be driver-broadcast)
     full = (
         lab_cands.join(lab_w, "label_clean")
-        .join(F.broadcast(index.select("qnode", "class")), "qnode")
+        .join(size_aware_broadcast(index.select("qnode", "class"), idx_rows), "qnode")
         .select(
             "label_clean", "qnode", "kg_label", "w", "class",
             F.round("pagerank", 6).alias("pagerank"),
@@ -84,7 +89,7 @@ def wikify(
         .localCheckpoint()  # vocabulary-sized: barrier is ~free
     )
     f = features.string_similarity_features(
-        full, alias_dim=index.select("qnode", "aliases")
+        full, alias_dim=index.select("qnode", "aliases"), dim_rows=idx_rows
     )
     f = features.singleton_feature(f, cell_cols=["label_clean"])
     f = features.pick_hc_candidates(f)
@@ -98,10 +103,22 @@ def wikify(
     f = features.kth_percentile(
         f, score_col="best_str_sim", cell_col="label_clean", weight_col="w"
     )
-    f = features.semantic_tfidf(
-        f, "class", "kth_percenter", "smc_class_score", weight_col="w"
+    # REAL class/property count-map features (wikifier.py:165-178): the
+    # index carries class_count/property_count maps; both TF-IDF features
+    # are computed over the exploded key sets — no more aliasing the class
+    # score into the property slot (10 genuinely distinct ranker signals)
+    cls_dim = index.select("qnode", F.explode(F.map_keys("class_count")).alias("key"))
+    prop_dim = index.select(
+        "qnode", F.explode(F.map_keys("property_count")).alias("key")
     )
-    f = f.withColumn("smc_property_score", F.col("smc_class_score"))
+    f = features.semantic_tfidf_map(
+        f, cls_dim, "kth_percenter", "smc_class_score",
+        weight_col="w", dim_rows=idx_rows,
+    )
+    f = features.semantic_tfidf_map(
+        f, prop_dim, "kth_percenter", "smc_property_score",
+        weight_col="w", dim_rows=idx_rows,
+    )
     f = ranker.predict_using_model(
         f,
         ranker.PSEUDO_GT_FEATURES,
@@ -122,13 +139,16 @@ def wikify(
     )
     f = f.localCheckpoint()
     f = features.embedding_centroid_score(
-        f, emb_dim=index.select("qnode", "embedding"), weight_col="w"
+        f, emb_dim=index.select("qnode", "embedding"),
+        weight_col="w", dim_rows=idx_rows,
     )
-    f = features.semantic_tfidf(
-        f, "class", "pseudo_gt", "pgt_class_count_tf_idf_score", weight_col="w"
+    f = features.semantic_tfidf_map(
+        f, cls_dim, "pseudo_gt", "pgt_class_count_tf_idf_score",
+        weight_col="w", dim_rows=idx_rows,
     )
-    f = f.withColumn(
-        "pgt_property_count_tf_idf_score", F.col("pgt_class_count_tf_idf_score")
+    f = features.semantic_tfidf_map(
+        f, prop_dim, "pseudo_gt", "pgt_property_count_tf_idf_score",
+        weight_col="w", dim_rows=idx_rows,
     )
     f = ranker.predict_using_model(
         f,
@@ -151,8 +171,6 @@ def wikify(
     # the ONE corpus-scale stage after detection: fan out label-level
     # links to every mention (broadcast under threshold, shuffle join
     # beyond — size_aware_broadcast)
-    from .plans.skew import size_aware_broadcast
-
     return m.join(size_aware_broadcast(lab_links, idx_rows), "label_clean").select(
         F.col("row").alias("mention_id"),
         "repo",

@@ -9,6 +9,7 @@ matches exactly.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -16,7 +17,12 @@ from pyspark.sql import functions as F
 
 from .operators import analytics, candidates, features, ranker, topk
 from .operators.canonicalize import canonicalize, clean
-from .operators.linking_fixture import cleaned_mentions, entity_index
+from .operators.linking_fixture import (
+    class_key_dim,
+    cleaned_mentions,
+    entity_index,
+    property_key_dim,
+)
 from .sources.tpch import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -77,15 +83,13 @@ def q_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 ISA_CLASS = "standard"
 
 
-def q_exact_isa(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return candidates.exact_matches(
-        cleaned_mentions(spark, sf_dir), entity_index(spark, sf_dir), isa=ISA_CLASS
-    )
-
-
-def q_fuzzy_isa(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return candidates.fuzzy_matches(
-        cleaned_mentions(spark, sf_dir), entity_index(spark, sf_dir), isa=ISA_CLASS
+def q_retrieval_isa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """--isa restriction across strategies in ONE board entry: exact +
+    fuzzy over the class-filtered index, distinguished by `method`."""
+    m = cleaned_mentions(spark, sf_dir)
+    idx = entity_index(spark, sf_dir)
+    return candidates.exact_matches(m, idx, isa=ISA_CLASS).unionByName(
+        candidates.fuzzy_matches(m, idx, isa=ISA_CLASS)
     )
 
 
@@ -166,8 +170,13 @@ def featured_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without it. Cheap: materializes a broadcast join over the first
     # checkpoint's leaf.
     f = f.localCheckpoint()
-    f = features.semantic_tfidf(f, "class", "kth_percenter", "smc_class_score")
-    f = features.semantic_tfidf(f, "brand", "kth_percenter", "smc_property_score")
+    # real class_count/property_count MAP features (multi-class entities,
+    # property distributions) — replaces the former scalar class + brand
+    # proxy (wikifier.py:165-178: --feature-name class_count/property_count)
+    cls_dim = class_key_dim(spark, sf_dir).select("qnode", "key")
+    prop_dim = property_key_dim(spark, sf_dir).select("qnode", "key")
+    f = features.semantic_tfidf_map(f, cls_dim, "kth_percenter", "smc_class_score")
+    f = features.semantic_tfidf_map(f, prop_dim, "kth_percenter", "smc_property_score")
     f = features.mosaic_features(f)
     # ANSI-oracle proxy anchoring: the reference anchors create-pseudo-gt on
     # the pseudo-GT MLP prediction (wikifier.py:184-186) — pipeline.wikify
@@ -183,8 +192,8 @@ def featured_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = features.embedding_centroid_score(
         f, emb_dim=idx.select("qnode", "embedding")
     )
-    f = features.semantic_tfidf(f, "class", "pseudo_gt", "pgt_class_count_tf_idf_score")
-    f = features.semantic_tfidf(f, "brand", "pseudo_gt", "pgt_property_count_tf_idf_score")
+    f = features.semantic_tfidf_map(f, cls_dim, "pseudo_gt", "pgt_class_count_tf_idf_score")
+    f = features.semantic_tfidf_map(f, prop_dim, "pseudo_gt", "pgt_property_count_tf_idf_score")
     f = f.localCheckpoint()
     _FEATURED_CACHE[key] = f
     return f
@@ -235,35 +244,83 @@ def q_context_match_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kgtk_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Offline index build (Call-Wikifier-Service.ipynb cells 7-8): a
     KGTK-style (node1, label, node2) edge list — synthesized from part —
-    aggregated per qnode into the entity-index table."""
+    aggregated per qnode into the entity-index table, including the
+    class_count / property_count COUNT MAPS (multi-valued P31 + repeated
+    property edges) and the typed context harvest. Maps/arrays are
+    rendered as sorted canonical strings for the hash compare."""
     from .sources.kgtk import build_entity_index
 
     part = load_table(spark, sf_dir, "part")
-    q = F.concat(F.lit("Q"), F.col("p_partkey").cast("string"))
+    pk = F.col("p_partkey")
+    q = F.concat(F.lit("Q"), pk.cast("string"))
     name = F.lower("p_name")
+    dob = F.date_add(F.to_date(F.lit("1992-01-01")), (pk % 1000).cast("int"))
     edges = part.select(
         F.explode(
-            F.array(
-                F.struct(q.alias("node1"), F.lit("label").alias("label"), name.alias("node2")),
-                F.struct(q.alias("node1"), F.lit("alias").alias("label"),
-                         F.concat_ws(" ", F.lower("p_brand"), name).alias("node2")),
-                F.struct(q.alias("node1"), F.lit("alias").alias("label"),
-                         F.concat_ws(" ", name, F.lower("p_type")).alias("node2")),
-                F.struct(q.alias("node1"), F.lit("P31").alias("label"),
-                         F.lower("p_type").alias("node2")),
-                F.struct(q.alias("node1"), F.lit("description").alias("label"),
-                         F.concat(F.lit("a "), F.lower("p_type"), F.lit(" of brand "),
-                                  F.col("p_brand")).alias("node2")),
-                F.struct(q.alias("node1"), F.lit("pagerank").alias("label"),
-                         (F.col("p_retailprice") / 1000.0).cast("string").alias("node2")),
+            F.filter(
+                F.array(
+                    F.struct(q.alias("node1"), F.lit("label").alias("label"), name.alias("node2")),
+                    F.struct(q.alias("node1"), F.lit("alias").alias("label"),
+                             F.concat_ws(" ", F.lower("p_brand"), name).alias("node2")),
+                    F.struct(q.alias("node1"), F.lit("alias").alias("label"),
+                             F.concat_ws(" ", name, F.lower("p_type")).alias("node2")),
+                    F.struct(q.alias("node1"), F.lit("P31").alias("label"),
+                             F.lower("p_type").alias("node2")),
+                    # multi-valued instance-of: secondary class for even keys
+                    F.struct(q.alias("node1"), F.lit("P31").alias("label"),
+                             F.when(pk % 2 == 0,
+                                    F.concat(F.lit("grp"), (pk % 3).cast("string"))).alias("node2")),
+                    # repeated P31 edge → count 2 in class_count
+                    F.struct(q.alias("node1"), F.lit("P31").alias("label"),
+                             F.when(pk % 5 == 0, F.lower("p_type")).alias("node2")),
+                    # typed property edges (string / quantity / date)
+                    F.struct(q.alias("node1"), F.lit("P_brand").alias("label"),
+                             F.col("p_brand").alias("node2")),
+                    F.struct(q.alias("node1"), F.lit("P_brand").alias("label"),
+                             F.when(pk % 3 == 0, F.col("p_brand")).alias("node2")),
+                    F.struct(q.alias("node1"), F.lit("P_size").alias("label"),
+                             F.col("p_size").cast("string").alias("node2")),
+                    F.struct(q.alias("node1"), F.lit("P_dob").alias("label"),
+                             dob.cast("string").alias("node2")),
+                    F.struct(q.alias("node1"), F.lit("description").alias("label"),
+                             F.concat(F.lit("a "), F.lower("p_type"), F.lit(" of brand "),
+                                      F.col("p_brand")).alias("node2")),
+                    F.struct(q.alias("node1"), F.lit("pagerank").alias("label"),
+                             (F.col("p_retailprice") / 1000.0).cast("string").alias("node2")),
+                ),
+                lambda s: s["node2"].isNotNull(),
             )
         ).alias("e")
     ).select("e.node1", "e.label", "e.node2")
     idx = build_entity_index(edges)
+
+    def map_str(col: str):
+        return F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.map_entries(col),
+                    lambda e: F.concat_ws(":", e["key"], e["value"].cast("string")),
+                )
+            ),
+            "|",
+        )
+
+    ctx_str = F.array_join(
+        F.array_sort(
+            F.transform(
+                "context_arr",
+                lambda e: F.concat_ws(":", e["property"], e["value"], e["vtype"]),
+            )
+        ),
+        "|",
+    )
     return idx.select(
         "qnode", "label",
         F.array_join("aliases", "|").alias("aliases"),
         "class", "description", "pagerank",
+        map_str("class_count").alias("class_count_str"),
+        map_str("property_count").alias("property_count_str"),
+        ctx_str.alias("context_str"),
     )
 
 
@@ -311,20 +368,19 @@ def _per_column_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.unionByName(tiny)
 
 
-def q_kth_percentile_per_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_per_column_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target-column kth-percentile (--minimum-cells 10) AND per-column
+    pseudo-GT mean threshold on the same multi-column table — one board
+    entry for both column-grouped threshold semantics (the planted 5-cell
+    '0-TINY' column must yield zero kth anchors)."""
     df = _per_column_scored(spark, sf_dir)
     out = features.kth_percentile(
         df, score_col="score", column_col="column", minimum_cells=10
     )
-    return out.select("column", "row", "kth_percenter")
-
-
-def q_pseudo_gt_per_column(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _per_column_scored(spark, sf_dir)
     out = features.create_pseudo_gt(
-        df, "score", filter_col="score", integral=True, column_col="column"
+        out, "score", filter_col="score", integral=True, column_col="column"
     )
-    return out.select("column", "row", "pseudo_gt")
+    return out.select("column", "row", "kth_percenter", "pseudo_gt")
 
 
 def q_centroid_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -337,6 +393,82 @@ def q_centroid_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
         f, emb_dim=idx.select("qnode", "embedding")
     )
     return out.select("row", "qnode", "pgt_centroid_lof_score")
+
+
+def q_context_match_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed property-ARRAY context match (context.jl analogue): the
+    candidate's context rides the index row as
+    array<struct<property,value,type>> — no pre-pivoted property columns
+    needed (features.context_match_array)."""
+    f = featured_candidates(spark, sf_dir).select("row", "qnode", "context")
+    idx = entity_index(spark, sf_dir).select("qnode", "context_arr")
+    cands = f.join(F.broadcast(idx), "qnode")
+    out = features.context_match_array(cands)
+    return out.select(
+        "row", "qnode", "n_ctx_props", "n_ctx_matched", "context_score_array"
+    )
+
+
+def q_reconcile_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconcile response payload with TYPE labeling
+    (wikifier_service.py:116-142): top-5 links + match rule + the
+    candidate's top class (by class_count) resolved to a type label.
+    Scored by retrieval_score so the full payload stays ANSI-oracle-
+    checkable (the reference scores with siamese_prediction — same shape,
+    MLP not SQL-expressible; the MLP scoring itself is pinned by
+    ranker_siamese_mlp + pytest)."""
+    from .operators.reconcile import reconcile_response
+
+    f = featured_candidates(spark, sf_dir)
+    links = topk.get_kg_links(f, k=5, score_col="retrieval_score")
+    links = topk.apply_match_rule(links, "retrieval_score")
+    return reconcile_response(
+        links, class_key_dim(spark, sf_dir), score_col="retrieval_score"
+    )
+
+
+# Parquet handoff dir for oracle-checking stages whose INPUT is a
+# non-SQL-expressible computation (the pseudo-GT MLP): the Spark query
+# materializes the MLP scores here and BOTH engines read the same file, so
+# the downstream threshold logic is hash-checked exactly. Keyed by the
+# part-table row count so different SFs never collide.
+ORACLE_CACHE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".oracle_cache"
+)
+
+
+def q_pseudo_gt_mlp_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """create-pseudo-gt anchored on the MLP PREDICTION exactly as the
+    reference does (wikifier.py:184-186) — oracle-checked: the prediction
+    is materialized to parquet, DuckDB reads the same file, and the
+    per-mean boolean (exact integer-micros comparison) is verified
+    hash-exact. Removes the pgr_rts-proxy caveat on the checked chain."""
+    f = featured_candidates(spark, sf_dir)
+    n_part = load_table(spark, sf_dir, "part").count()
+    pred = ranker.predict_using_model(
+        f,
+        ranker.PSEUDO_GT_FEATURES,
+        ranker.pseudo_gt_weights(),
+        ranker.PSEUDO_GT_DATA_MIN,
+        ranker.PSEUDO_GT_DATA_MAX,
+        "pseudo_gt_prediction",
+    )
+    pred = pred.select(
+        "row",
+        "qnode",
+        F.floor(F.col("pseudo_gt_prediction") * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("pred_micro"),
+        F.lit(n_part).alias("n_part"),
+    )
+    path = os.path.join(ORACLE_CACHE, "pseudo_gt_pred", f"n{n_part}")
+    pred.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path).drop("n_part")
+    base = f.select("row", "qnode", "smc_class_score").join(back, ["row", "qnode"])
+    out = features.create_pseudo_gt(
+        base, "pred_micro", "smc_class_score", out="pseudo_gt_mlp", integral=True
+    )
+    return out.select("row", "qnode", "pseudo_gt_mlp")
 
 
 def q_ranker_pseudo_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -528,28 +660,12 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(embs, _ann_queries(embs), k=5)
 
 
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.text import lang_id
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lang-ID + quality + token counts + fingerprints fused into one
+    document scan (operators/text.py::text_profile)."""
+    from .operators.text import text_profile
 
-    return lang_id(load_table(spark, sf_dir, "documents"))
-
-
-def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.text import quality_score
-
-    return quality_score(load_table(spark, sf_dir, "documents"))
-
-
-def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.text import token_counts
-
-    return token_counts(load_table(spark, sf_dir, "documents"))
-
-
-def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.text import fingerprint
-
-    return fingerprint(load_table(spark, sf_dir, "documents"))
+    return text_profile(load_table(spark, sf_dir, "documents"))
 
 
 def q_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -590,6 +706,10 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return json_props_extract(spark, sf_dir)
 
 
+# 49 entries — kept under the driver's 50-entry board so nothing falls off
+# (r02 lost the 4 events_* rows at 54 entries). Near-duplicate feature
+# selections are merged into shared entries; every operator family still
+# has an oracle-checked row.
 QUERIES: dict[str, QueryFn] = {
     "tpch_q1_pricing_summary": analytics.q1_pricing_summary,
     "tpch_q3_top_orders": analytics.q3_top_orders,
@@ -602,29 +722,31 @@ QUERIES: dict[str, QueryFn] = {
     "retrieval_ngram": q_ngram,
     "retrieval_trigram": q_trigram,
     "retrieval_fuzzy": q_fuzzy,
-    "retrieval_exact_isa": q_exact_isa,
-    "retrieval_fuzzy_isa": q_fuzzy_isa,
+    "retrieval_isa": q_retrieval_isa,
     "candidates_dedup": q_candidates,
     "features_string_sims": _feature_query(
         "label_clean", "kg_label", "monge_elkan", "monge_elkan_aliases",
         "jaro_winkler", "levenshtein",
     ),
-    "features_singleton_hc": _feature_query("singleton", "best_str_sim", "ignore_candidate"),
+    # singleton/hc + mosaic num_char/num_tokens (same chain row)
+    "features_singleton_hc": _feature_query(
+        "singleton", "best_str_sim", "ignore_candidate", "num_char", "num_tokens"
+    ),
+    # fixed-triple context match + the --use-relevant-properties second pass
     "features_context_match": _feature_query(
-        "brand_match", "class_match", "size_match", "context_score"
+        "brand_match", "class_match", "size_match", "context_score",
+        "context_score_3",
     ),
     "features_context_match_typed": q_context_match_typed,
-    "features_kth_percentile": _feature_query("kth_percenter"),
-    "features_kth_percentile_per_column": q_kth_percentile_per_column,
-    "features_pseudo_gt_per_column": q_pseudo_gt_per_column,
-    "features_pgr_rts": _feature_query("pgr_rts"),
-    "features_smc_tfidf": _feature_query("smc_class_score", "smc_property_score"),
-    "features_mosaic": _feature_query("num_char", "num_tokens"),
+    "features_context_match_array": q_context_match_array,
+    "features_kth_percentile": _feature_query("kth_percenter", "pgr_rts"),
+    "features_per_column_thresholds": q_per_column_thresholds,
+    "features_smc_tfidf_map": _feature_query("smc_class_score", "smc_property_score"),
     "features_pseudo_gt": _feature_query("pseudo_gt"),
-    "features_context_relevant": _feature_query("context_score_3"),
+    "features_pseudo_gt_mlp_anchor": q_pseudo_gt_mlp_anchor,
     "features_centroid": _feature_query("pgt_centroid_score"),
     "features_centroid_lof": q_centroid_lof,
-    "features_pgt_tfidf": _feature_query(
+    "features_pgt_tfidf_map": _feature_query(
         "pgt_class_count_tf_idf_score", "pgt_property_count_tf_idf_score"
     ),
     "ranker_pseudo_gt_mlp": q_ranker_pseudo_gt,
@@ -632,9 +754,14 @@ QUERIES: dict[str, QueryFn] = {
     "kg_links_top3": q_kg_links_top3,
     "join_back_top1": q_join_back_top1,
     "match_rule": q_match_rule,
+    "reconcile_response": q_reconcile_response,
     "wikify_end_to_end": q_wikify_end_to_end,
     "connected_components": q_connected_components,
     "triples_emit": q_triples_emit,
+    "events_pivot": q_events_pivot,
+    "events_sessionize": q_events_sessionize,
+    "events_hourly_windows": q_events_hourly,
+    "events_json_extract": q_events_json,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -642,14 +769,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_embedding_cosine": q_dedup_cosine,
     "ann_cosine_topk": q_ann_brute,
     "ann_lsh_topk": q_ann_lsh,
-    "text_lang_id": q_lang_id,
-    "text_quality_score": q_quality,
-    "text_token_counts": q_token_counts,
-    "text_fingerprint": q_fingerprint,
+    "text_analysis": q_text_profile,
     "multimodal_binary_features": q_binary_features,
     "multimodal_decode_stub": q_media_decode_stub,
-    "events_pivot": q_events_pivot,
-    "events_sessionize": q_events_sessionize,
-    "events_hourly_windows": q_events_hourly,
-    "events_json_extract": q_events_json,
 }

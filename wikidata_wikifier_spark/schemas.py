@@ -14,6 +14,7 @@ from pyspark.sql.types import (
     FloatType,
     IntegerType,
     LongType,
+    MapType,
     StringType,
     StructField,
     StructType,
@@ -30,8 +31,23 @@ SOURCE_REPOS = StructType(
     ]
 )
 
+# One typed (property, value, type) context entry per entity property —
+# the reference's context.jl aux harvest (wikifier/wikifier.py:72,122-130)
+CONTEXT_ENTRY = StructType(
+    [
+        StructField("property", StringType()),
+        StructField("value", StringType()),
+        StructField("vtype", StringType()),  # string | quantity | date
+    ]
+)
+
 # Wikidata label/alias index (replaces ES index wikidatadwd-augmented;
-# fields per reference wikifier/wikifier.py:24 aux list)
+# fields per reference wikifier/wikifier.py:24 aux list:
+# graph_embedding_complex, class_count, property_count, context).
+# class_count/property_count are COUNT MAPS (class/property qnode → edge
+# count), the multi-valued form the reference's aux TSVs carry — a single
+# scalar class cannot express multi-class entities or the property
+# distribution the semantic-consistency features score against.
 ENTITY_INDEX = StructType(
     [
         StructField("qnode", StringType()),
@@ -41,6 +57,9 @@ ENTITY_INDEX = StructType(
         StructField("pagerank", DoubleType()),
         StructField("class", StringType()),
         StructField("embedding", ArrayType(FloatType())),
+        StructField("class_count", MapType(StringType(), IntegerType())),
+        StructField("property_count", MapType(StringType(), IntegerType())),
+        StructField("context_arr", ArrayType(CONTEXT_ENTRY)),
     ]
 )
 
