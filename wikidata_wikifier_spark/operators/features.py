@@ -433,23 +433,52 @@ def semantic_tfidf_map(
     (distinct qnodes × map keys), broadcast back — the candidate table
     never reshuffles.
     """
+    return semantic_tfidf_map_multi(
+        cands, [(key_dim, out)], anchor_col, weight_col=weight_col, dim_rows=dim_rows
+    )
+
+
+def semantic_tfidf_map_multi(
+    cands: DataFrame,
+    dims: list[tuple[DataFrame, str]],
+    anchor_col: str,
+    weight_col: str | None = None,
+    dim_rows: int | None = None,
+) -> DataFrame:
+    """semantic_tfidf_map for SEVERAL key dimensions sharing one anchor
+    column (the reference always computes the class_count and
+    property_count features back-to-back against the same anchor set,
+    wikifier.py:165-178,196-205): the dims are tagged and unioned so the
+    distinct-qnode scan, the anchor mass aggregate, every per-key
+    aggregate, and the final broadcast join-back run ONCE for all
+    families instead of once per family — per-family math is grouped by
+    the family tag and therefore identical to independent calls (the
+    per-family oracles pin this).
+
+    dims: list of (key_dim(qnode, key), out_col).
+    """
+    tagged = None
+    for i, (kd, _out) in enumerate(dims):
+        t = kd.select(F.lit(i).alias("fam"), "qnode", "key")
+        tagged = t if tagged is None else tagged.unionByName(t)
     w_expr = F.col(weight_col) if weight_col else F.lit(1)
     qn = cands.select("qnode").distinct()
-    ck = qn.join(size_aware_broadcast(key_dim.select("qnode", "key"), dim_rows), "qnode")
+    ck = qn.join(size_aware_broadcast(tagged, dim_rows), "qnode")
     n_q = qn.agg(F.count("*").alias("n_qnodes"))
-    df_k = ck.groupBy("key").agg(F.countDistinct("qnode").alias("df"))
+    df_k = ck.groupBy("fam", "key").agg(F.countDistinct("qnode").alias("df"))
     tf_k = (
         cands.where(F.col(anchor_col) == 1)
         .groupBy("qnode")
         .agg(F.sum(w_expr).alias("_aw"))
         .join(ck, "qnode")
-        .groupBy("key")
+        .groupBy("fam", "key")
         .agg(F.sum("_aw").alias("tf"))
     )
     micro = (
-        tf_k.join(df_k, "key")
+        tf_k.join(df_k, ["fam", "key"])
         .crossJoin(F.broadcast(n_q))
         .select(
+            "fam",
             "key",
             F.floor(
                 F.col("tf") * F.log(F.col("n_qnodes") / F.col("df")) * 1e6 + F.lit(0.5)
@@ -457,23 +486,27 @@ def semantic_tfidf_map(
         )
     )
     s_q = (
-        ck.join(F.broadcast(micro), "key", "left")
+        ck.join(F.broadcast(micro), ["fam", "key"], "left")
         .na.fill({"_micro": 0})
-        .groupBy("qnode")
+        .groupBy("fam", "qnode")
         .agg(F.sum("_micro").alias("_s"))
     )
-    max_s = s_q.agg(F.max("_s").alias("_maxs"))
-    scores = s_q.crossJoin(F.broadcast(max_s)).select(
-        "qnode",
-        F.when(F.col("_maxs") == 0, F.lit(0.0))
-        .otherwise(F.round(F.col("_s") / F.col("_maxs"), 6))
-        .alias("_w_out"),
+    max_s = s_q.groupBy("fam").agg(F.max("_s").alias("_maxs"))
+    w_out = F.when(F.col("_maxs") == 0, F.lit(0.0)).otherwise(
+        F.round(F.col("_s") / F.col("_maxs"), 6)
     )
-    return (
-        cands.join(size_aware_broadcast(scores, dim_rows), "qnode", "left")
-        .withColumn(out, F.coalesce(F.col("_w_out"), F.lit(0.0)))
-        .drop("_w_out")
+    scores = (
+        s_q.join(F.broadcast(max_s), "fam")
+        .groupBy("qnode")
+        .agg(
+            *[
+                F.max(F.when(F.col("fam") == i, w_out)).alias(out)
+                for i, (_kd, out) in enumerate(dims)
+            ]
+        )
     )
+    joined = cands.join(size_aware_broadcast(scores, dim_rows), "qnode", "left")
+    return joined.na.fill({out: 0.0 for _kd, out in dims})
 
 
 _NUM_RE = r"^-?[0-9]+(\.[0-9]+)?$"

@@ -111,13 +111,12 @@ def wikify(
     prop_dim = index.select(
         "qnode", F.explode(F.map_keys("property_count")).alias("key")
     )
-    f = features.semantic_tfidf_map(
-        f, cls_dim, "kth_percenter", "smc_class_score",
-        weight_col="w", dim_rows=idx_rows,
-    )
-    f = features.semantic_tfidf_map(
-        f, prop_dim, "kth_percenter", "smc_property_score",
-        weight_col="w", dim_rows=idx_rows,
+    f = features.semantic_tfidf_map_multi(
+        f,
+        [(cls_dim, "smc_class_score"), (prop_dim, "smc_property_score")],
+        "kth_percenter",
+        weight_col="w",
+        dim_rows=idx_rows,
     )
     f = ranker.predict_using_model(
         f,
@@ -142,13 +141,15 @@ def wikify(
         f, emb_dim=index.select("qnode", "embedding"),
         weight_col="w", dim_rows=idx_rows,
     )
-    f = features.semantic_tfidf_map(
-        f, cls_dim, "pseudo_gt", "pgt_class_count_tf_idf_score",
-        weight_col="w", dim_rows=idx_rows,
-    )
-    f = features.semantic_tfidf_map(
-        f, prop_dim, "pseudo_gt", "pgt_property_count_tf_idf_score",
-        weight_col="w", dim_rows=idx_rows,
+    f = features.semantic_tfidf_map_multi(
+        f,
+        [
+            (cls_dim, "pgt_class_count_tf_idf_score"),
+            (prop_dim, "pgt_property_count_tf_idf_score"),
+        ],
+        "pseudo_gt",
+        weight_col="w",
+        dim_rows=idx_rows,
     )
     f = ranker.predict_using_model(
         f,

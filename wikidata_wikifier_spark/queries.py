@@ -175,8 +175,15 @@ def featured_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # proxy (wikifier.py:165-178: --feature-name class_count/property_count)
     cls_dim = class_key_dim(spark, sf_dir).select("qnode", "key")
     prop_dim = property_key_dim(spark, sf_dir).select("qnode", "key")
-    f = features.semantic_tfidf_map(f, cls_dim, "kth_percenter", "smc_class_score")
-    f = features.semantic_tfidf_map(f, prop_dim, "kth_percenter", "smc_property_score")
+    f = features.semantic_tfidf_map_multi(
+        f,
+        [(cls_dim, "smc_class_score"), (prop_dim, "smc_property_score")],
+        "kth_percenter",
+    )
+    # barrier directly after the tf-idf fan-out: create_pseudo_gt and
+    # context_match_relevant each read their input twice — without it the
+    # smc aggregates re-execute ~4x inside the next checkpoint's plan
+    f = f.localCheckpoint()
     f = features.mosaic_features(f)
     # ANSI-oracle proxy anchoring: the reference anchors create-pseudo-gt on
     # the pseudo-GT MLP prediction (wikifier.py:184-186) — pipeline.wikify
@@ -192,8 +199,17 @@ def featured_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = features.embedding_centroid_score(
         f, emb_dim=idx.select("qnode", "embedding")
     )
-    f = features.semantic_tfidf_map(f, cls_dim, "pseudo_gt", "pgt_class_count_tf_idf_score")
-    f = features.semantic_tfidf_map(f, prop_dim, "pseudo_gt", "pgt_property_count_tf_idf_score")
+    # barrier between the two qnode-keyed fan-outs (centroid reads its
+    # input 3x, the pgt tf-idf another 3x — multiplicative without a cut)
+    f = f.localCheckpoint()
+    f = features.semantic_tfidf_map_multi(
+        f,
+        [
+            (cls_dim, "pgt_class_count_tf_idf_score"),
+            (prop_dim, "pgt_property_count_tf_idf_score"),
+        ],
+        "pseudo_gt",
+    )
     f = f.localCheckpoint()
     _FEATURED_CACHE[key] = f
     return f
@@ -547,8 +563,17 @@ def q_wikify_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = features.create_pseudo_gt(f, "pseudo_gt_prediction", "smc_class_score")
     f = f.localCheckpoint()
     f = features.embedding_centroid_score(f, emb_dim=idx.select("qnode", "embedding"))
-    f = features.semantic_tfidf(f, "class", "pseudo_gt", "pgt_class_count_tf_idf_score")
-    f = features.semantic_tfidf(f, "brand", "pseudo_gt", "pgt_property_count_tf_idf_score")
+    f = f.localCheckpoint()
+    f = features.semantic_tfidf_map_multi(
+        f,
+        [
+            (class_key_dim(spark, sf_dir).select("qnode", "key"),
+             "pgt_class_count_tf_idf_score"),
+            (property_key_dim(spark, sf_dir).select("qnode", "key"),
+             "pgt_property_count_tf_idf_score"),
+        ],
+        "pseudo_gt",
+    )
     f = ranker.predict_using_model(
         f,
         ranker.FINAL_FEATURES,
