@@ -131,6 +131,42 @@ def detect_mentions(source: DataFrame, with_context: bool = True) -> DataFrame:
     # could differ between runs/parallelism levels.
     from pyspark.sql import Window
 
+    if not with_context:
+        # hot path (the source-code pipeline): min-pos dedup as a plain
+        # aggregate instead of a row_number window — the hash aggregate
+        # combines duplicate (file, kind, label) hits MAP-SIDE before the
+        # exchange and never sorts the mention table; the min of the
+        # (pos, raw) struct selects exactly the row the window's
+        # orderBy(pos, raw) kept (label is a pure function of raw), so
+        # mention ids are byte-identical to the window formulation.
+        deduped = (
+            cleaned.groupBy("repo", "path", "commit", "kind", "label_clean")
+            .agg(
+                F.min(F.struct("pos", "raw", "label")).alias("_m"),
+                F.min("lang").alias("lang"),
+                F.min("content_sha256").alias("content_sha256"),
+            )
+            .select(
+                "repo", "path", "commit", "kind", "label_clean", "lang",
+                "content_sha256",
+                F.col("_m.pos").alias("pos"),
+                F.col("_m.label").alias("label"),
+            )
+            .withColumn("context", F.lit(""))
+        )
+        return deduped.withColumn(
+            "mention_id",
+            md5_long(
+                F.concat_ws(
+                    "", "repo", "path", "commit", "kind", "label_clean",
+                    F.col("pos").cast("string"),
+                )
+            ),
+        ).select(
+            "mention_id", "repo", "path", "commit", "lang", "kind",
+            "label", "label_clean", "context", "content_sha256",
+        )
+
     w_file = Window.partitionBy("repo", "path")
     w_dup = Window.partitionBy(
         "repo", "path", "commit", "kind", "label_clean"
