@@ -48,6 +48,8 @@ def join_back(
     entity's aliases and description columns to the output. The aliases
     array is pipe-joined like the reference's CSV rendering. Broadcast
     dimension join; unlinked rows keep NULLs."""
+    from ..plans.skew import size_aware_broadcast
+
     out = original.join(links, on, "left")
     if extra_info is not None:
         dim = extra_info.select(
@@ -55,7 +57,43 @@ def join_back(
             F.array_join("aliases", "|").alias("kg_aliases"),
             F.col("description").alias("kg_descriptions"),
         )
-        out = out.join(F.broadcast(dim), "qnode", "left")
+        # entity-index-derived dimension: honors the no-broadcast escape
+        # hatch instead of forcing a driver broadcast of a ~100M-row index
+        out = out.join(size_aware_broadcast(dim, None), "qnode", "left")
+    return out
+
+
+# 5-step green gradient, darkest = best (the xlsx colorization the
+# reference renders; tl add-color's per-cell ranking semantics)
+COLOR_GRADIENT = ["#006400", "#228B22", "#66BB66", "#A9DFA9", "#E8F5E9"]
+
+
+def add_color(
+    links: DataFrame,
+    columns: list[str],
+    cell_col: str = "row",
+    out_suffix: str = "_color",
+) -> DataFrame:
+    """`add-color -c {columns} -k {k}` (wikifier.py:216-220): for every
+    scored column, each candidate of a cell gets a background color from a
+    green gradient by its within-cell rank on that column (best = darkest).
+    The reference renders this into colorized.xlsx — a presentation sink;
+    the engine emits the color ASSIGNMENT as data (one <col>_color column
+    per input column), which any writer can style. Windowed per cell —
+    bounded partitions (≤ k candidates), one shuffle shared by Catalyst
+    across the per-column windows (same partition key)."""
+    grad = F.array(*[F.lit(x) for x in COLOR_GRADIENT])
+    out = links
+    for c in columns:
+        w = Window.partitionBy(cell_col).orderBy(F.desc(c), F.asc("qnode"))
+        rk = F.row_number().over(w)
+        out = out.withColumn(
+            c + out_suffix,
+            F.when(
+                F.col(c).isNotNull(),
+                F.element_at(grad, F.least(rk, F.lit(len(COLOR_GRADIENT))).cast("int")),
+            ),
+        )
     return out
 
 

@@ -818,6 +818,30 @@ ORACLES: dict[str, str] = {
             WHERE rank <= 1) l USING (row)
         LEFT JOIN entity_index e ON l.qnode = e.qnode
     """,
+    # add-color gradient assignment over the top-3 links (per-cell rank
+    # colors per scored column; mirrors operators/topk.py::add_color)
+    "add_color": FEATURE_CTES
+    + """,
+    clinks AS MATERIALIZED (
+        SELECT row, qnode, retrieval_score, pagerank, smc_class_score, rank FROM (
+            SELECT row, qnode, retrieval_score, pagerank, smc_class_score,
+                   row_number() OVER (PARTITION BY row
+                       ORDER BY retrieval_score DESC, qnode ASC) AS rank
+            FROM f7)
+        WHERE rank <= 3
+    )
+    SELECT row, qnode, rank,
+    """
+    + ",\n".join(
+        f"""
+           CASE WHEN {c} IS NOT NULL THEN
+             CASE least(row_number() OVER (PARTITION BY row ORDER BY {c} DESC, qnode ASC), 5)
+               WHEN 1 THEN '#006400' WHEN 2 THEN '#228B22' WHEN 3 THEN '#66BB66'
+               WHEN 4 THEN '#A9DFA9' ELSE '#E8F5E9' END
+           END AS {c}_color"""
+        for c in ["retrieval_score", "pagerank", "smc_class_score"]
+    )
+    + "\n    FROM clinks",
     "match_rule": FEATURE_CTES
     + """
         SELECT row, qnode, rank, retrieval_score,

@@ -139,8 +139,11 @@ def featured_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only per-qnode SCALARS ride on the candidate table; the aliases and
     # embedding ARRAYS stay in dimension tables joined where needed — they
     # would otherwise be carried through every shuffle and checkpoint
+    from .plans.skew import size_aware_broadcast
+
     full = c.join(
-        F.broadcast(idx.select("qnode", "class", "brand", "size")), "qnode"
+        size_aware_broadcast(idx.select("qnode", "class", "brand", "size"), None),
+        "qnode",
     ).join(m.select("row", "context"), "row")
     # spread before the feature stages: upstream AQE coalesces the capped
     # candidate table to 1-2 partitions, which would serialize them.
@@ -416,9 +419,11 @@ def q_context_match_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate's context rides the index row as
     array<struct<property,value,type>> — no pre-pivoted property columns
     needed (features.context_match_array)."""
+    from .plans.skew import size_aware_broadcast
+
     f = featured_candidates(spark, sf_dir).select("row", "qnode", "context")
     idx = entity_index(spark, sf_dir).select("qnode", "context_arr")
-    cands = f.join(F.broadcast(idx), "qnode")
+    cands = f.join(size_aware_broadcast(idx, None), "qnode")
     out = features.context_match_array(cands)
     return out.select(
         "row", "qnode", "n_ctx_props", "n_ctx_matched", "context_score_array"
@@ -527,6 +532,22 @@ def q_join_back_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = cleaned_mentions(spark, sf_dir).select("row", "label", "context")
     extra = entity_index(spark, sf_dir).select("qnode", "aliases", "description")
     return topk.join_back(links, m, extra_info=extra)
+
+
+def q_add_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """add-color colorization assignment (wikifier.py:216-220) over the
+    top-3 links: per-cell green-gradient rank colors for three scored
+    columns (the reference colors its feature columns + siamese score;
+    here the SQL-expressible scores so the assignment is oracle-checked)."""
+    f = featured_candidates(spark, sf_dir)
+    links = topk.get_kg_links(f, k=3, score_col="retrieval_score")
+    colored = topk.add_color(
+        links, ["retrieval_score", "pagerank", "smc_class_score"]
+    )
+    return colored.select(
+        "row", "qnode", "rank",
+        "retrieval_score_color", "pagerank_color", "smc_class_score_color",
+    )
 
 
 def q_match_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -778,6 +799,7 @@ QUERIES: dict[str, QueryFn] = {
     "ranker_siamese_mlp": q_ranker_siamese,
     "kg_links_top3": q_kg_links_top3,
     "join_back_top1": q_join_back_top1,
+    "add_color": q_add_color,
     "match_rule": q_match_rule,
     "reconcile_response": q_reconcile_response,
     "wikify_end_to_end": q_wikify_end_to_end,
