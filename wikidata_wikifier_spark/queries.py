@@ -93,10 +93,25 @@ def q_retrieval_isa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The 4-strategy candidate table is one SHARED STAGE consumed by both the
+# candidates_dedup query and the whole feature chain — materialize it once
+# per (session, sf_dir) like a real engine reuses a materialized stage,
+# instead of re-running retrieval per query. Keyed by applicationId (a
+# dead session's id() can be reused by CPython).
+_CANDIDATES_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def raw_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CANDIDATES_CACHE:
+        _CANDIDATES_CACHE[key] = candidates.generate_candidates(
+            cleaned_mentions(spark, sf_dir), entity_index(spark, sf_dir)
+        ).localCheckpoint()
+    return _CANDIDATES_CACHE[key]
+
+
 def q_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = candidates.generate_candidates(
-        cleaned_mentions(spark, sf_dir), entity_index(spark, sf_dir)
-    )
+    df = raw_candidates(spark, sf_dir)
     return df.select(
         "row",
         "label_clean",
@@ -127,7 +142,7 @@ def featured_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _FEATURED_CACHE[key]
     m = cleaned_mentions(spark, sf_dir)
     idx = entity_index(spark, sf_dir)
-    c = candidates.generate_candidates(m, idx).select(
+    c = raw_candidates(spark, sf_dir).select(
         "row",
         "label_clean",
         "qnode",
