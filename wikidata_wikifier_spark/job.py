@@ -34,6 +34,11 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=1)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument(
+        "--salt", type=int, default=None,
+        help="explicit salt width for the label fan-out join (head-entity "
+        "skew); default lets size-aware broadcast / AQE handle it",
+    )
     args = ap.parse_args()
 
     pre_existing = SparkSession.getActiveSession() is not None
@@ -56,7 +61,7 @@ def main() -> None:
         else spark.read.parquet(args.index)
     )
 
-    links = wikify(source, index, k=args.k)
+    links = wikify(source, index, k=args.k, salt=args.salt)
     if args.edges:
         edges = (
             spark.read.table(args.edges)

@@ -35,6 +35,7 @@ def wikify(
     source: DataFrame,
     index: DataFrame,
     k: int = 1,
+    salt: int | None = None,
 ) -> DataFrame:
     """source(repo,path,commit,lang,content) × index(ENTITY_INDEX) →
     LINKS table (top-k per mention + match flag), sha256 carried through.
@@ -170,9 +171,21 @@ def wikify(
         F.col("rank").cast("int").alias("rank"), "match",
     )
     # the ONE corpus-scale stage after detection: fan out label-level
-    # links to every mention (broadcast under threshold, shuffle join
-    # beyond — size_aware_broadcast)
-    return m.join(size_aware_broadcast(lab_links, idx_rows), "label_clean").select(
+    # links to every mention. Three shapes, worst-case first:
+    # - salt=N: explicit salted join for the HEAD-LABEL hotspot (the
+    #   planted head entity appears in ~25% of files — one key, one
+    #   monster task in a plain shuffle join). The tiny link table is
+    #   replicated N ways and mentions scatter by a deterministic sibling
+    #   hash (plans/skew.py::salted_join), so no single task owns the key.
+    # - otherwise broadcast under threshold / AQE-skew-split shuffle join
+    #   beyond (size_aware_broadcast).
+    if salt and salt > 1:
+        from .plans.skew import salted_join
+
+        fanned = salted_join(m, lab_links, "label_clean", salt=salt)
+    else:
+        fanned = m.join(size_aware_broadcast(lab_links, idx_rows), "label_clean")
+    return fanned.select(
         F.col("row").alias("mention_id"),
         "repo",
         "path",
