@@ -21,7 +21,7 @@ from wikidata_wikifier_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    names = sys.argv[2:] or ["features_pgr_rts", "features_pseudo_gt"]
+    names = sys.argv[2:] or ["features_kth_percentile", "features_pseudo_gt"]
     spark = get_spark()
     failed = []
     for name in names:

@@ -61,6 +61,12 @@ def main() -> None:
         else spark.read.parquet(args.index)
     )
 
+    # one metadata-cheap count of the entity index: the SAME size hint the
+    # pipeline's dimension joins use steers the output tail's typing join
+    # (size_aware_broadcast — a ~100M-row index must never be forced into
+    # a driver broadcast)
+    idx_rows = index.count()
+
     links = wikify(source, index, k=args.k, salt=args.salt)
     if args.edges:
         edges = (
@@ -69,7 +75,7 @@ def main() -> None:
             else spark.read.parquet(args.edges)
         )
         links = canonicalize_links(links, edges)
-    triples = links_to_triples(links, index)
+    triples = links_to_triples(links, index, idx_rows=idx_rows)
     stats = write_triples(triples, args.out, resume=args.resume)
     print(json.dumps(stats))
     if not pre_existing:

@@ -11,8 +11,9 @@ Scale design:
 - MinHash/LSH: per-doc signatures are a single groupBy over exploded
   shingles (K min-aggregates); the LSH band join touches only docs
   sharing a band bucket — the classic O(candidates) instead of O(n²).
-- SimHash: 4 bands of 8 bits; pigeonhole guarantees hamming≤3 pairs
-  share ≥1 band, so the self-join is band-bucketed, never all-pairs.
+- SimHash: 60-bit signature, 6 bands of 10 bits; pigeonhole guarantees
+  hamming≤3 pairs share ≥1 band, so the self-join is band-bucketed,
+  never all-pairs.
 - n-gram Jaccard: gram-inverted-index join blocked by lang.
 - embedding cosine: blocked by cluster label (coarse quantization) —
   the IVF pattern: compare only within the same coarse cell.
@@ -182,8 +183,10 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
 
 def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Near-dup pairs at hamming ≤ 3 via 8-bit band bucketing (pigeonhole:
-    4 bands, ≤3 differing bits → at least one band identical)."""
+    """Near-dup pairs at hamming ≤ 3 via 10-bit band bucketing of the
+    60-bit signature (pigeonhole: 6 bands, ≤3 differing bits → at least
+    one band identical; ≥4 bands is the requirement, 6 keeps each band's
+    bucket space at 2^10 so buckets don't saturate at corpus scale)."""
     sig = simhash(docs, text_col, id_col)
     bits_per_band = SIMHASH_BITS // SIMHASH_BANDS
     bands = [

@@ -562,10 +562,14 @@ def context_match_array(
             q_score = F.coalesce(
                 F.when(closeness >= CONTEXT_QUANTITY_MIN, closeness), F.lit(0.0)
             )
+            # try_to_date: the regex admits non-calendar strings like
+            # '2024-13-40', which a plain to_date turns into a query-killing
+            # error under ANSI mode — unparseable tokens must score 0
+            # (oracle side uses TRY_CAST for the same reason)
             d_score = F.coalesce(
                 F.when(
-                    F.to_date(F.when(t.rlike(_DATE_RE), t))
-                    == F.to_date(F.when(v.rlike(_DATE_RE), v)),
+                    F.try_to_date(F.when(t.rlike(_DATE_RE), t))
+                    == F.try_to_date(F.when(v.rlike(_DATE_RE), v)),
                     F.lit(1.0),
                 ),
                 F.lit(0.0),
@@ -579,13 +583,20 @@ def context_match_array(
 
         return F.array_max(F.transform(toks, per_tok))
 
-    score_micros = F.transform(
+    # NULL context_arr (a left-joined index row with no harvested context)
+    # must behave like an empty property list: F.size(NULL) is -1, which
+    # would make n_ctx_props negative and divide by a negative count
+    ctx_arr = F.coalesce(
         F.col(context_arr_col),
+        F.array().cast("array<struct<property:string,value:string,vtype:string>>"),
+    )
+    score_micros = F.transform(
+        ctx_arr,
         lambda s: F.floor(
             F.coalesce(entry_score(s), F.lit(0.0)) * 1e6 + F.lit(0.5)
         ).cast("long"),
     )
-    n_props = F.size(F.col(context_arr_col))
+    n_props = F.size(ctx_arr)
     out_df = cands.withColumn("_ctx_micros", score_micros)
     matched = F.size(F.filter(F.col("_ctx_micros"), lambda x: x > 0))
     total = F.aggregate(

@@ -39,6 +39,7 @@ def join_back(
     original: DataFrame,
     on: str = "row",
     extra_info: DataFrame | None = None,
+    dim_rows: int | None = None,
 ) -> DataFrame:
     """`tl join -f input.csv` (wikifier.py:223-224): attach top-k links
     back onto the original table (left join keeps unlinked rows).
@@ -57,9 +58,10 @@ def join_back(
             F.array_join("aliases", "|").alias("kg_aliases"),
             F.col("description").alias("kg_descriptions"),
         )
-        # entity-index-derived dimension: honors the no-broadcast escape
-        # hatch instead of forcing a driver broadcast of a ~100M-row index
-        out = out.join(size_aware_broadcast(dim, None), "qnode", "left")
+        # entity-index-derived dimension (~100M rows at the Wikidata
+        # target): broadcast only with an explicit known-small dim_rows
+        # hint; hintless degrades to a shuffle join + AQE promotion
+        out = out.join(size_aware_broadcast(dim, dim_rows), "qnode", "left")
     return out
 
 

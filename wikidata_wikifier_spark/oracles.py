@@ -882,7 +882,8 @@ ORACLES: dict[str, str] = {
                         ELSE
                             (CASE WHEN regexp_matches(t, '^[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}$')
                                    AND regexp_matches(e.value, '^[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}$')
-                                   AND CAST(t AS DATE) = CAST(e.value AS DATE)
+                                   AND TRY_CAST(t AS DATE) = TRY_CAST(e.value AS DATE)
+                                   AND TRY_CAST(t AS DATE) IS NOT NULL
                                   THEN 1.0 ELSE 0.0 END)
                    END) * 1e6 + 0.5) AS BIGINT) AS micro
         FROM (SELECT DISTINCT row, qnode FROM cand) c

@@ -199,13 +199,23 @@ def wikify(
     )
 
 
-def canonicalize_links(links: DataFrame, alias_edges: DataFrame) -> DataFrame:
+def canonicalize_links(
+    links: DataFrame, alias_edges: DataFrame, comp_rows: int | None = None
+) -> DataFrame:
     """Connected components over sameAs edges → rewrite each linked qnode
-    to its component representative (north_rule canonicalization)."""
+    to its component representative (north_rule canonicalization).
+
+    The component map is NODE-scale (the sameAs graph can approach index
+    scale), so the join is size-aware: hintless → shuffle join with AQE
+    promotion, never a forced driver broadcast of an index-sized map."""
+    from .plans.skew import size_aware_broadcast
+
     comp = connected_components(alias_edges)
     return (
         links.join(
-            F.broadcast(comp.withColumnRenamed("node", "qnode")), "qnode", "left"
+            size_aware_broadcast(comp.withColumnRenamed("node", "qnode"), comp_rows),
+            "qnode",
+            "left",
         )
         .withColumn("canonical_qnode", F.coalesce(F.col("component"), F.col("qnode")))
         .drop("component")

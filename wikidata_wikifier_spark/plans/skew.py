@@ -47,21 +47,25 @@ BROADCAST_MAX_ROWS = 5_000_000
 
 
 def size_aware_broadcast(df: DataFrame, n_rows_hint: int | None = None) -> DataFrame:
-    """Broadcast-hint `df` only when it is known-small AND broadcasting is
-    not disabled session-wide.
+    """Broadcast-hint `df` only when it is KNOWN-small (an explicit
+    n_rows_hint at or under BROADCAST_MAX_ROWS) and broadcasting is not
+    disabled session-wide.
 
-    An unconditional F.broadcast() overrides
-    spark.sql.autoBroadcastJoinThreshold=-1 and OOMs the driver once the
-    side outgrows memory; returning the bare df instead leaves the
-    decision to AQE, which promotes to broadcast at runtime from the
-    actual shuffle stats (and demotes when the side is huge)."""
+    No hint → bare df. "Unknown size" must not mean "force a driver
+    broadcast": entity-scale dimensions (the ~100M-row index, per-qnode
+    typing/extra-info dims) ride hintless call sites, and an unconditional
+    F.broadcast() overrides spark.sql.autoBroadcastJoinThreshold=-1 and
+    OOMs the driver once the side outgrows memory. Returning the bare df
+    leaves the decision to the static planner's size estimate and to AQE,
+    which promotes a shuffle join to broadcast at runtime from the actual
+    shuffle stats (and keeps the shuffle when the side is huge)."""
     try:
         thr = df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
         if str(thr).strip() in ("-1", "-1b"):
             return df
     except Exception:
         pass
-    if n_rows_hint is not None and n_rows_hint > BROADCAST_MAX_ROWS:
+    if n_rows_hint is None or n_rows_hint > BROADCAST_MAX_ROWS:
         return df
     return F.broadcast(df)
 

@@ -53,27 +53,45 @@ def q_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------- candidate retrieval
 
+# size_aware_broadcast requires an EXPLICIT row hint to force a broadcast
+# (hintless = shuffle join + AQE promotion — the 100-TB-safe default).
+# The fixture index is one row per part; count it once per session so
+# every dimension join here rides an honest known-small hint.
+_IDX_ROWS_CACHE: dict[tuple[str, str], int] = {}
+
+
+def index_rows(spark: SparkSession, sf_dir: str) -> int:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IDX_ROWS_CACHE:
+        _IDX_ROWS_CACHE[key] = entity_index(spark, sf_dir).count()
+    return _IDX_ROWS_CACHE[key]
+
+
 def q_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return candidates.exact_matches(
-        cleaned_mentions(spark, sf_dir), entity_index(spark, sf_dir)
+        cleaned_mentions(spark, sf_dir), entity_index(spark, sf_dir),
+        idx_rows=index_rows(spark, sf_dir),
     )
 
 
 def q_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return candidates.ngram_matches(
-        cleaned_mentions(spark, sf_dir), entity_index(spark, sf_dir)
+        cleaned_mentions(spark, sf_dir), entity_index(spark, sf_dir),
+        idx_rows=index_rows(spark, sf_dir),
     )
 
 
 def q_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return candidates.trigram_matches(
-        cleaned_mentions(spark, sf_dir), entity_index(spark, sf_dir)
+        cleaned_mentions(spark, sf_dir), entity_index(spark, sf_dir),
+        idx_rows=index_rows(spark, sf_dir),
     )
 
 
 def q_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return candidates.fuzzy_matches(
-        cleaned_mentions(spark, sf_dir), entity_index(spark, sf_dir)
+        cleaned_mentions(spark, sf_dir), entity_index(spark, sf_dir),
+        idx_rows=index_rows(spark, sf_dir),
     )
 
 
@@ -88,8 +106,9 @@ def q_retrieval_isa(spark: SparkSession, sf_dir: str) -> DataFrame:
     fuzzy over the class-filtered index, distinguished by `method`."""
     m = cleaned_mentions(spark, sf_dir)
     idx = entity_index(spark, sf_dir)
-    return candidates.exact_matches(m, idx, isa=ISA_CLASS).unionByName(
-        candidates.fuzzy_matches(m, idx, isa=ISA_CLASS)
+    n = index_rows(spark, sf_dir)
+    return candidates.exact_matches(m, idx, isa=ISA_CLASS, idx_rows=n).unionByName(
+        candidates.fuzzy_matches(m, idx, isa=ISA_CLASS, idx_rows=n)
     )
 
 
@@ -156,8 +175,9 @@ def featured_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would otherwise be carried through every shuffle and checkpoint
     from .plans.skew import size_aware_broadcast
 
+    idx_rows = index_rows(spark, sf_dir)
     full = c.join(
-        size_aware_broadcast(idx.select("qnode", "class", "brand", "size"), None),
+        size_aware_broadcast(idx.select("qnode", "class", "brand", "size"), idx_rows),
         "qnode",
     ).join(m.select("row", "context"), "row")
     # spread before the feature stages: upstream AQE coalesces the capped
@@ -168,7 +188,7 @@ def featured_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_parts = max(spark.sparkContext.defaultParallelism * 2, 16)
     full = full.repartition(n_parts, F.col("row")).localCheckpoint()
     f = features.string_similarity_features(
-        full, alias_dim=idx.select("qnode", "aliases")
+        full, alias_dim=idx.select("qnode", "aliases"), dim_rows=idx_rows
     )
     f = features.singleton_feature(f)
     f = features.pick_hc_candidates(f)
@@ -197,6 +217,7 @@ def featured_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         f,
         [(cls_dim, "smc_class_score"), (prop_dim, "smc_property_score")],
         "kth_percenter",
+        dim_rows=idx_rows,
     )
     # barrier directly after the tf-idf fan-out: create_pseudo_gt and
     # context_match_relevant each read their input twice — without it the
@@ -215,7 +236,7 @@ def featured_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = features.context_match_relevant(f)
     f = f.localCheckpoint()
     f = features.embedding_centroid_score(
-        f, emb_dim=idx.select("qnode", "embedding")
+        f, emb_dim=idx.select("qnode", "embedding"), dim_rows=idx_rows
     )
     # barrier between the two qnode-keyed fan-outs (centroid reads its
     # input 3x, the pgt tf-idf another 3x — multiplicative without a cut)
@@ -227,6 +248,7 @@ def featured_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             (prop_dim, "pgt_property_count_tf_idf_score"),
         ],
         "pseudo_gt",
+        dim_rows=idx_rows,
     )
     f = f.localCheckpoint()
     _FEATURED_CACHE[key] = f
@@ -424,7 +446,8 @@ def q_centroid_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = featured_candidates(spark, sf_dir)
     idx = entity_index(spark, sf_dir)
     out = features.embedding_centroid_lof_score(
-        f, emb_dim=idx.select("qnode", "embedding")
+        f, emb_dim=idx.select("qnode", "embedding"),
+        dim_rows=index_rows(spark, sf_dir),
     )
     return out.select("row", "qnode", "pgt_centroid_lof_score")
 
@@ -438,7 +461,7 @@ def q_context_match_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     f = featured_candidates(spark, sf_dir).select("row", "qnode", "context")
     idx = entity_index(spark, sf_dir).select("qnode", "context_arr")
-    cands = f.join(size_aware_broadcast(idx, None), "qnode")
+    cands = f.join(size_aware_broadcast(idx, index_rows(spark, sf_dir)), "qnode")
     out = features.context_match_array(cands)
     return out.select(
         "row", "qnode", "n_ctx_props", "n_ctx_matched", "context_score_array"
@@ -546,7 +569,9 @@ def q_join_back_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = cleaned_mentions(spark, sf_dir).select("row", "label", "context")
     extra = entity_index(spark, sf_dir).select("qnode", "aliases", "description")
-    return topk.join_back(links, m, extra_info=extra)
+    return topk.join_back(
+        links, m, extra_info=extra, dim_rows=index_rows(spark, sf_dir)
+    )
 
 
 def q_add_color(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -59,7 +59,15 @@ def make_sessionize_fn(gap_seconds: int = SESSION_GAP_SECONDS):
             return
         st = tuple(state.get) if state.exists else None
         closed: list[tuple] = []
-        for pdf in pdfs:
+        # applyInPandasWithState gives NO ordering guarantee across the
+        # chunks of one group (chunks split at arrow.maxRecordsPerBatch and
+        # across partitions) — sorting each chunk independently would let an
+        # out-of-order later chunk produce a negative gap and silently merge
+        # sessions. Materialize the whole group's micro-batch slice first
+        # (bounded: one user's events in one micro-batch), sort ONCE.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
             pdf = pdf.sort_values(["ts", "event_id"])
             for ts, val in zip(pdf["ts"], pdf["value"]):
                 t = int(ts.value // 1_000)  # ns → µs

@@ -41,13 +41,18 @@ def wikify_stream(
     """
     from ..plans.checkpoint import write_triples
 
+    # long-lived dimension: size it ONCE outside the batch loop — the hint
+    # steers the per-batch typing join's broadcast decision without
+    # re-counting the index every micro-batch
+    idx_rows = index.count()
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         links = wikify(batch_df, index, k=k)
         if edges is not None:
             links = canonicalize_links(links, edges)
-        triples = links_to_triples(links, index)
+        triples = links_to_triples(links, index, idx_rows=idx_rows)
         write_triples(
             triples, f"{out_dir}/batch_{batch_id}", resume=True
         )

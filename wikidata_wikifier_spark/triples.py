@@ -30,6 +30,7 @@ def links_to_triples(
     index: DataFrame,
     alias_components: DataFrame | None = None,
     only_matches: bool = True,
+    idx_rows: int | None = None,
 ) -> DataFrame:
     """Emit per link:
     - (canonical_qnode, P:mentionedIn, repo:path@sha)   provenance triple
@@ -60,9 +61,20 @@ def links_to_triples(
         )
         .distinct()
     )
+    # the typing dim is the FULL entity index (~100M rows at the Wikidata
+    # target — multi-GB): size-aware, never an unconditional broadcast.
+    # Callers thread the same idx_rows hint the pipeline's other
+    # index-dimension joins use; hintless → shuffle join + AQE promotion.
+    from .plans.skew import size_aware_broadcast
+
     typed = (
         base.select(subj.alias("subj"), F.col("qnode").alias("orig"))
-        .join(F.broadcast(index.select(F.col("qnode").alias("orig"), "class")), "orig")
+        .join(
+            size_aware_broadcast(
+                index.select(F.col("qnode").alias("orig"), "class"), idx_rows
+            ),
+            "orig",
+        )
         .select("subj", F.lit(PRED_INSTANCE_OF).alias("pred"), F.col("class").alias("obj"))
         .distinct()
     )
