@@ -753,11 +753,17 @@ def embedding_centroid_lof_score(
         .distinct()
         .join(size_aware_broadcast(emb_dim, dim_rows), "qnode")
     )
-    w = Window.partitionBy(F.lit(1)).orderBy(F.md5("qnode"))
+    # deterministic cap = the max_anchors SMALLEST md5(qnode) values.
+    # orderBy+limit compiles to TakeOrderedAndProject: each task keeps its
+    # partition's top-N and the driver merges N-sized heaps — identical
+    # selection to a global rank, WITHOUT funneling the whole anchor set
+    # through one task (the former Window.partitionBy(lit(1)) did exactly
+    # that single-task global sort).
     anchors = (
-        anchors.withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") <= max_anchors)
-        .drop("_rk")
+        anchors.withColumn("_h", F.md5("qnode"))
+        .orderBy("_h")
+        .limit(max_anchors)
+        .drop("_h")
     )
 
     def lof_centroid(pdf: "pd.DataFrame") -> "pd.DataFrame":

@@ -127,6 +127,26 @@ def class_key_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def class_label_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(type_id, type_name) — the ES ids-lookup analogue
+    (wikifier_service.py:18-39): each class id resolves to a human label
+    through a DIMENSION JOIN, the same shape the reference uses to turn
+    type QNodes into names (never synthesized from the key at the call
+    site). Deterministic label derivation, mirrored in
+    oracles.py::reconcile_response's rrt CTE."""
+    return (
+        class_key_dim(spark, sf_dir)
+        .select("key")
+        .distinct()
+        .select(
+            F.col("key").alias("type_id"),
+            F.concat(F.lit("the "), F.col("key"), F.lit(" class")).alias(
+                "type_name"
+            ),
+        )
+    )
+
+
 def property_key_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(qnode, key, cnt) exploded view of the property_count map."""
     idx = entity_index(spark, sf_dir)

@@ -76,6 +76,45 @@ def _lang_hit_array(lang: str) -> "Column":
     return F.flatten(F.array(*arrs))
 
 
+CTX_TOP_TOKENS = 8
+
+
+def label_context(mentions: DataFrame, top_tokens: int = CTX_TOP_TOKENS) -> DataFrame:
+    """Per-LABEL co-mention context: for every distinct label, the top-N
+    other labels it shares files with, pipe-joined — the source-code
+    analogue of `tl canonicalize --add-context`'s row context
+    (wikifier/wikifier.py:79-80), aggregated to label level so the whole
+    context feature stays vocabulary-scale (context differs per mention,
+    so the label's context is its co-occurrence profile across the
+    corpus — the same exact-aggregate trick the other label-level stats
+    use).
+
+    Scale: the pair generation self-joins the (repo, path, label) mention
+    table on the file key — linear in the corpus's co-occurrence pairs
+    (per-file mention counts are bounded by file size, so no quadratic
+    blowup per group); (label, token) counts aggregate with map-side
+    combine; the top-N cut is a bounded window over vocabulary-scale
+    keys. Output is one short string per distinct label."""
+    from pyspark.sql import Window
+
+    fl = mentions.select("repo", "path", "label_clean").dropDuplicates()
+    pairs = (
+        fl.join(
+            fl.select("repo", "path", F.col("label_clean").alias("tok")),
+            ["repo", "path"],
+        )
+        .where(F.col("label_clean") != F.col("tok"))
+    )
+    counts = pairs.groupBy("label_clean", "tok").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("label_clean").orderBy(F.desc("c"), F.asc("tok"))
+    return (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= top_tokens)
+        .groupBy("label_clean")
+        .agg(F.array_join(F.array_sort(F.collect_list("tok")), "|").alias("context"))
+    )
+
+
 def detect_mentions(source: DataFrame, with_context: bool = True) -> DataFrame:
     """source(repo,path,commit,lang,content) → MENTIONS schema table.
 

@@ -120,10 +120,13 @@ def final_ranker_weights() -> dict[str, np.ndarray]:
 
 
 def pipeline_ranker_weights() -> dict[str, np.ndarray]:
-    """Final-ranker calibration for the source-repo pipeline, where row
-    context does not exist (context features are constant 0): the match
-    threshold shifts down so exact-label links (w·x ≈ 5.0) auto-match and
-    partial identifier matches (w·x ≲ 4.0) do not."""
+    """Final-ranker calibration for the source-repo pipeline, where
+    context comes from file co-mentions (near-zero for most candidates —
+    co-mention labels rarely resemble an entity's property values, but a
+    genuine context hit adds up to +2.0·score to w·x and breaks label
+    ambiguity): the match threshold shifts down so exact-label links
+    (w·x ≈ 5.0) auto-match and partial identifier matches (w·x ≲ 4.0)
+    do not."""
     return make_calibrated_weights(FINAL_FEATURE_WEIGHTS, gain=4.0, bias=-14.0)
 
 

@@ -69,6 +69,8 @@ def reconcile_response(
     links: DataFrame,
     class_key_dim: DataFrame,
     score_col: str = "siamese_prediction",
+    label_dim: DataFrame | None = None,
+    dim_rows: int | None = None,
 ) -> DataFrame:
     """Reconcile response typing (wikifier_service.py:116-142): every
     matched candidate is labeled with its TOP class — the reference splits
@@ -78,29 +80,45 @@ def reconcile_response(
 
     class_key_dim: (qnode, key, cnt) exploded class_count map. The top
     class per qnode is max-by (cnt DESC, key ASC) — the count ordering is
-    exactly what top5_class_count encodes. The type label here is the
-    deterministic capitalization of the class key (the reference resolves
-    labels via an ES get_labels lookup; same broadcast-dimension shape).
-    Candidates with no class keep NULL type fields, mirroring the
-    reference's no-type response branch (wikifier_service.py:136-142).
+    exactly what top5_class_count encodes.
+
+    label_dim: (type_id, type_name) — the ES ids-lookup dimension the
+    reference resolves type labels through (wikifier_service.py:18-39,
+    used at :134-139). When given, type_name comes from the DIMENSION
+    JOIN; classes missing from it (and the no-class branch,
+    wikifier_service.py:136-142) fall back to the deterministic
+    capitalization of the key / NULL respectively.
 
     Scale: the typing dimension is entity-scale (one row per qnode),
-    windowed per qnode (bounded partitions) and broadcast-joined back —
-    the links table never reshuffles.
+    windowed per qnode (bounded partitions); joins are size-aware —
+    dim_rows hints the entity-scale sides, so past BROADCAST_MAX_ROWS
+    they degrade to shuffle joins with AQE promotion instead of forcing
+    an index-sized driver broadcast.
     """
     w = Window.partitionBy("qnode").orderBy(F.desc("cnt"), F.asc("key"))
     top1 = (
         class_key_dim.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") == 1)
-        .select(
-            "qnode",
-            F.col("key").alias("type_id"),
-            F.concat(
-                F.upper(F.substring("key", 1, 1)), F.expr("substring(key, 2)")
-            ).alias("type_name"),
-        )
+        .select("qnode", F.col("key").alias("type_id"))
     )
-    return links.join(size_aware_broadcast(top1, None), "qnode", "left").select(
+    fallback_name = F.concat(
+        F.upper(F.substring("type_id", 1, 1)), F.expr("substring(type_id, 2)")
+    )
+    if label_dim is not None:
+        # label vocabulary ≤ class vocabulary ≤ entity count: same hint
+        top1 = top1.join(
+            size_aware_broadcast(
+                label_dim.select("type_id", F.col("type_name").alias("_tn")),
+                dim_rows,
+            ),
+            "type_id",
+            "left",
+        ).select(
+            "qnode", "type_id", F.coalesce("_tn", fallback_name).alias("type_name")
+        )
+    else:
+        top1 = top1.select("qnode", "type_id", fallback_name.alias("type_name"))
+    return links.join(size_aware_broadcast(top1, dim_rows), "qnode", "left").select(
         "row",
         F.col("qnode").alias("id"),
         F.col("kg_label").alias("name"),

@@ -793,8 +793,11 @@ ORACLES: dict[str, str] = {
     "features_pgt_tfidf_map": FEATURE_CTES
     + """SELECT row, qnode, pgt_class_count_tf_idf_score,
                 pgt_property_count_tf_idf_score FROM f13""",
-    # ranker_pseudo_gt_mlp / ranker_siamese_mlp / wikify_end_to_end:
-    # MLP forward pass is not ANSI-SQL-expressible → rows-only checks.
+    # ranker_pseudo_gt_mlp / ranker_siamese_mlp: the MLP forward pass is
+    # not ANSI-SQL-expressible → rows-only checks (numerics pinned by
+    # pytest vs numpy). wikify_end_to_end IS oracle-checked: the Spark
+    # query hands the final MLP scores off via parquet and the whole
+    # output tail is verified below.
     "kg_links_top3": FEATURE_CTES
     + """
         SELECT row, qnode, retrieval_score, pagerank, rank FROM (
@@ -919,19 +922,49 @@ ORACLES: dict[str, str] = {
                 THEN 1 ELSE 0 END AS pseudo_gt_mlp
     FROM mlpb
     """,
+    # end-to-end pipeline output tail: both engines read the SAME final-MLP
+    # score parquet the Spark query materialized; the oracle re-derives the
+    # top-1 window (identical tie-break: score DESC, retrieval DESC, qnode
+    # ASC) and the >0.95 ∧ rank-1 match rule (wikifier_service.py:132-141)
+    "wikify_end_to_end": f"""
+        WITH mlp AS MATERIALIZED (
+            SELECT row, label_clean, qnode, kg_label, retrieval_score,
+                   siamese_prediction
+            FROM read_parquet('{ORACLE_CACHE}/siamese_pred/*/*.parquet')
+            WHERE n_part = (SELECT count(*) FROM part)
+        )
+        SELECT row, label_clean, qnode, kg_label, siamese_prediction, rank,
+               CASE WHEN siamese_prediction > 0.95 AND rank = 1
+                    THEN 1 ELSE 0 END AS match
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY row
+                       ORDER BY siamese_prediction DESC, retrieval_score DESC,
+                                qnode ASC) AS rank
+            FROM mlp)
+        WHERE rank <= 1
+    """,
     # reconcile response typing (wikifier_service.py:116-142): top-5 links
     # + match rule + top class per candidate (class_count order) resolved
     # to a type label
     "reconcile_response": FEATURE_CTES
     + """,
+    clabels AS MATERIALIZED (
+        -- the class-label dimension (linking_fixture.class_label_dim):
+        -- type names resolve through a dimension join, never synthesized
+        -- at the response site
+        SELECT DISTINCT key AS type_id, 'the ' || key || ' class' AS type_name
+        FROM class_keys
+    ),
     rrt AS MATERIALIZED (
-        SELECT qnode, key AS type_id,
-               upper(substr(key, 1, 1)) || substr(key, 2) AS type_name
+        SELECT t.qnode, t.key AS type_id,
+               coalesce(cl.type_name,
+                        upper(substr(t.key, 1, 1)) || substr(t.key, 2)) AS type_name
         FROM (SELECT qnode, key,
                      row_number() OVER (PARTITION BY qnode
                          ORDER BY cnt DESC, key ASC) AS rk
-              FROM class_keys)
-        WHERE rk = 1
+              FROM class_keys) t
+        LEFT JOIN clabels cl ON cl.type_id = t.key
+        WHERE t.rk = 1
     ),
     rlk AS MATERIALIZED (
         SELECT row, qnode, kg_label, retrieval_score, rank FROM (

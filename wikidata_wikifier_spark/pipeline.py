@@ -87,18 +87,53 @@ def wikify(
             F.round("retrieval_score", 6).alias("retrieval_score"),
             "num_occurences",
         )
-        .localCheckpoint()  # vocabulary-sized: barrier is ~free
     )
+    # REAL context when the index carries the typed property array
+    # (context.jl analogue): each label's context is its co-mention
+    # profile (top-N labels sharing files with it — vocabulary-scale),
+    # scored against the candidate's context_arr by the SAME
+    # context_match_array operator the tabular path uses. One extra
+    # vocabulary-scale join pair; zero corpus-scale work beyond the
+    # (already mention-scale) co-occurrence aggregation.
+    use_context = "context_arr" in index.columns
+    if use_context:
+        from .operators.mentions import label_context
+
+        lab_ctx = label_context(m)
+        full = (
+            full.join(lab_ctx, "label_clean", "left")
+            .withColumn("context", F.coalesce(F.col("context"), F.lit("")))
+            .join(
+                size_aware_broadcast(
+                    index.select("qnode", "context_arr"), idx_rows
+                ),
+                "qnode",
+                "left",
+            )
+        )
+        full = features.context_match_array(full, out="context_score_arr").drop(
+            "context", "context_arr", "n_ctx_props", "n_ctx_matched"
+        )
+    full = full.localCheckpoint()  # vocabulary-sized: barrier is ~free
     f = features.string_similarity_features(
         full, alias_dim=index.select("qnode", "aliases"), dim_rows=idx_rows
     )
     f = features.singleton_feature(f, cell_cols=["label_clean"])
     f = features.pick_hc_candidates(f)
-    # code mentions have no tabular row context → context scores are 0;
-    # kth-percentile anchoring falls back to string-sim quality
-    f = f.withColumn("context_score", F.lit(0.0)).withColumn(
-        "context_score_3", F.lit(0.0)
-    )
+    if use_context:
+        # co-mention context vs the index's typed property arrays; the
+        # array score feeds both context slots (the --use-relevant-
+        # properties second pass needs per-property HC stats that don't
+        # exist at label level — documented simplification)
+        f = f.withColumn("context_score", F.col("context_score_arr")).withColumn(
+            "context_score_3", F.col("context_score_arr")
+        ).drop("context_score_arr")
+    else:
+        # no context source (index without context_arr) → scores are 0;
+        # kth-percentile anchoring falls back to string-sim quality
+        f = f.withColumn("context_score", F.lit(0.0)).withColumn(
+            "context_score_3", F.lit(0.0)
+        )
     f = features.pgr_rts(f)
     f = f.localCheckpoint()
     f = features.kth_percentile(

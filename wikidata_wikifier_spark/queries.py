@@ -471,18 +471,25 @@ def q_context_match_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_reconcile_response(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reconcile response payload with TYPE labeling
     (wikifier_service.py:116-142): top-5 links + match rule + the
-    candidate's top class (by class_count) resolved to a type label.
+    candidate's top class (by class_count) resolved to a type label
+    through the class-label DIMENSION (the ES ids-lookup analogue,
+    wikifier_service.py:18-39 — not a call-site capitalization).
     Scored by retrieval_score so the full payload stays ANSI-oracle-
     checkable (the reference scores with siamese_prediction — same shape,
     MLP not SQL-expressible; the MLP scoring itself is pinned by
     ranker_siamese_mlp + pytest)."""
+    from .operators.linking_fixture import class_label_dim
     from .operators.reconcile import reconcile_response
 
     f = featured_candidates(spark, sf_dir)
     links = topk.get_kg_links(f, k=5, score_col="retrieval_score")
     links = topk.apply_match_rule(links, "retrieval_score")
     return reconcile_response(
-        links, class_key_dim(spark, sf_dir), score_col="retrieval_score"
+        links,
+        class_key_dim(spark, sf_dir),
+        score_col="retrieval_score",
+        label_dim=class_label_dim(spark, sf_dir),
+        dim_rows=index_rows(spark, sf_dir),
     )
 
 
@@ -603,10 +610,18 @@ def q_wikify_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     pseudo-gt anchors (on the MLP PREDICTION, wikifier.py:184-186 — not
     the oracle-proxy pgr_rts anchoring the checked feature chain uses) →
     re-anchored centroid + pgt tf-idf → final 10-feature MLP → top-1
-    links + match rule. MLP scores are not ANSI-SQL-expressible →
-    rows-only driver check; P/R vs goldens is pinned by pytest."""
+    links + match rule.
+
+    ORACLE-CHECKED end-to-end via the parquet score handoff (same pattern
+    as q_pseudo_gt_mlp_anchor): the final MLP scores — the only
+    non-ANSI-SQL-expressible stage — are materialized to the shared
+    handoff file, BOTH engines read it, and the whole output tail (top-1
+    window, deterministic tie-break, >0.95 ∧ rank-1 match rule) is
+    hash-verified exactly. The MLP numerics themselves stay pinned by
+    ranker pytest (bit-exact vs numpy)."""
     f = featured_candidates(spark, sf_dir)
     idx = entity_index(spark, sf_dir)
+    idx_rows = index_rows(spark, sf_dir)
     f = ranker.predict_using_model(
         f,
         ranker.PSEUDO_GT_FEATURES,
@@ -623,7 +638,9 @@ def q_wikify_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     f = features.create_pseudo_gt(f, "pseudo_gt_prediction", "smc_class_score")
     f = f.localCheckpoint()
-    f = features.embedding_centroid_score(f, emb_dim=idx.select("qnode", "embedding"))
+    f = features.embedding_centroid_score(
+        f, emb_dim=idx.select("qnode", "embedding"), dim_rows=idx_rows
+    )
     f = f.localCheckpoint()
     f = features.semantic_tfidf_map_multi(
         f,
@@ -634,6 +651,7 @@ def q_wikify_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
              "pgt_property_count_tf_idf_score"),
         ],
         "pseudo_gt",
+        dim_rows=idx_rows,
     )
     f = ranker.predict_using_model(
         f,
@@ -643,7 +661,18 @@ def q_wikify_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranker.FINAL_DATA_MAX,
         "siamese_prediction",
     )
-    links = topk.get_kg_links(f, k=1, score_col="siamese_prediction")
+    # score handoff: materialize the MLP output; downstream top-k + match
+    # rule run off the SAME file in both engines (hash-exact oracle).
+    # retrieval_score rides along because it is get_kg_links' tie-break.
+    n_part = load_table(spark, sf_dir, "part").count()
+    scored = f.select(
+        "row", "label_clean", "qnode", "kg_label", "retrieval_score",
+        "siamese_prediction", F.lit(n_part).alias("n_part"),
+    )
+    path = os.path.join(ORACLE_CACHE, "siamese_pred", f"n{n_part}")
+    scored.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path).drop("n_part")
+    links = topk.get_kg_links(back, k=1, score_col="siamese_prediction")
     links = topk.apply_match_rule(links)
     return links.select(
         "row", "label_clean", "qnode", "kg_label", "siamese_prediction", "rank", "match"

@@ -34,8 +34,18 @@ def wikify_stream(
     checkpoint_dir: str,
     edges: DataFrame | None = None,
     k: int = 1,
+    on_batch=None,
 ):
     """source-repo file stream → triples appended to out_dir per batch.
+
+    on_batch: optional callable(batch_id, write_stats) invoked after each
+    batch's triple write — the metrics hook (and the crash-injection seam
+    the mid-stream resume test uses). An exception here, or anywhere in
+    the batch, fails the query BEFORE the batch commits to the streaming
+    checkpoint; on restart the batch REPLAYS with the same id and
+    write_triples' per-partition manifest makes the replay a no-op
+    (skipped_parts == its previously written parts) — the exactly-once
+    story is (streaming checkpoint) × (partition manifest).
 
     Returns the StreamingQuery; callers stop it or await termination.
     """
@@ -53,9 +63,11 @@ def wikify_stream(
         if edges is not None:
             links = canonicalize_links(links, edges)
         triples = links_to_triples(links, index, idx_rows=idx_rows)
-        write_triples(
+        stats = write_triples(
             triples, f"{out_dir}/batch_{batch_id}", resume=True
         )
+        if on_batch is not None:
+            on_batch(batch_id, stats)
 
     return (
         source_stream.writeStream.foreachBatch(process_batch)
