@@ -66,6 +66,45 @@ section(
     "shuffle join (BENCH/broadcast_runs.jsonl evidences both paths).",
     keep=["Join", "Exchange", "PushedFilters", "ReadSchema"],
 )
+section(
+    "features_centroid_lof — distributed anchor cap (no single-task sort)",
+    "features_centroid_lof",
+    "The 1024-anchor cap for the O(n²) LOF matrix is a TakeOrderedAndProject "
+    "(per-partition top-N + driver merge) — the former "
+    "Window.partitionBy(lit(1)) global sort is gone; the only single-task "
+    "stage left is the LOF numpy kernel itself over ≤1024 rows.",
+    keep=["TakeOrdered", "Window", "ArrowEvalPython", "FlatMapGroupsInPandas",
+          "Exchange", "Join"],
+)
+
+# pipeline.wikify over the datagen fixture (not a registered query):
+# join/exchange/Python lines only — the corpus-scale fan-out audit
+from wikidata_wikifier_spark import datagen
+from wikidata_wikifier_spark.pipeline import wikify
+src, _g = datagen.source_repos_df(spark, n_repos=25, n_entities=150)
+idx = datagen.entity_index_df(spark, n_entities=150)
+links = wikify(src, idx, k=1)
+buf = io.StringIO()
+with contextlib.redirect_stdout(buf):
+    links.explain("formatted")
+keep = ["Join", "Exchange", "ArrowEvalPython", "Scan ExistingRDD",
+        "FlatMapGroupsInPandas", "Window"]
+lines = [l for l in buf.getvalue().splitlines() if any(k in l for k in keep)]
+out.write(
+    "## pipeline.wikify — the corpus-scale fan-out "
+    "(join/exchange/Python lines only)\n\n"
+    "The whole candidate/feature/rank chain upstream runs at vocabulary\n"
+    "scale behind localCheckpoint barriers (`Scan ExistingRDD` leaves);\n"
+    "the only corpus-scale operators in the final plan are the mention\n"
+    "scan, the co-mention context aggregation (one file-keyed self-join +\n"
+    "one map-side-combined count, both mention-scale), and ONE\n"
+    "label-keyed fan-out join — broadcast here, AQE-skew-split shuffle or\n"
+    "an explicit salted join (`wikify(salt=N)`) when the link table\n"
+    "outgrows the threshold. Every join below is a BroadcastHashJoin of a\n"
+    "vocabulary- or aggregate-scale side; ArrowEvalPython spans are the\n"
+    "two declared MLP pandas-UDF sites.\n\n"
+    "```\n" + "\n".join(lines) + "\n```\n\n"
+)
 out.close()
 print("written")
 spark.stop()
