@@ -42,15 +42,23 @@ RUNS = os.path.join(BENCH, "gated_scaling_runs.jsonl")
 GATE_GB_S = 2.0  # 2-proc probe; idle host reads ~5-10, loaded 0.1-0.2
 
 
-def run_json(cmd: list[str]) -> dict:
-    out = subprocess.run(
-        cmd, cwd=ROOT, capture_output=True, text=True, check=True
-    ).stdout
-    for line in reversed(out.strip().splitlines()):
-        line = line.strip()
-        if line.startswith("{"):
-            return json.loads(line)
-    raise RuntimeError(f"no JSON from {cmd}: {out[-400:]}")
+def run_json(cmd: list[str], retries: int = 2) -> dict:
+    # 16g driver: 8g OOMs the 8-core aggregation at millions of files
+    # (observed as GC-locker / heap failures under external host load)
+    env = dict(os.environ, SPARK_DRIVER_MEM="16g")
+    last_err = ""
+    for attempt in range(retries + 1):
+        r = subprocess.run(cmd, cwd=ROOT, capture_output=True, text=True, env=env)
+        if r.returncode == 0:
+            for line in reversed(r.stdout.strip().splitlines()):
+                line = line.strip()
+                if line.startswith("{"):
+                    return json.loads(line)
+            last_err = f"no JSON: {r.stdout[-300:]}"
+        else:
+            last_err = r.stderr[-600:]
+        print(f"RETRY {attempt + 1} {cmd[-4:]}: {last_err[-300:]}", flush=True)
+    raise RuntimeError(f"failed after retries {cmd}: {last_err}")
 
 
 def probe() -> float:
@@ -73,36 +81,43 @@ def main() -> None:
 
     for rnd in range(args.rounds):
         t_start = time.time()
-        p0 = probe()
-        m2 = run_json([py, mapsc, "--cpus", "2", "--files", str(args.map_files)])
-        f2 = run_json([py, scaling, "--cpus", "2", "--files", str(args.files)])
-        p1 = probe()
-        m8 = run_json([py, mapsc, "--cpus", "8", "--files", str(args.map_files)])
-        f8 = run_json([py, scaling, "--cpus", "8", "--files", str(args.files)])
-        p2 = probe()
+        try:
+            _run_round(rnd, args, py, scaling, mapsc, t_start)
+        except Exception as e:  # a dead round must not kill the campaign
+            print(f"ROUND {rnd} FAILED: {e}", flush=True)
 
-        eff_raw = (f2["wall_sec"] / f8["wall_sec"]) / 4.0
-        map_eff = (m2["wall_sec"] / m8["wall_sec"]) / 4.0
-        rec = {
-            "round": rnd,
-            "probes_gb_s": [p0, p1, p2],
-            "clean": min(p0, p1, p2) >= GATE_GB_S,
-            "gate_gb_s": GATE_GB_S,
-            "n_files": f2["n_files"],
-            "t2_sec": f2["wall_sec"],
-            "t8_sec": f8["wall_sec"],
-            "triples_per_sec_2c": f2["triples_per_sec"],
-            "triples_per_sec_8c": f8["triples_per_sec"],
-            "map_t2_sec": m2["wall_sec"],
-            "map_t8_sec": m8["wall_sec"],
-            "eff_raw": round(eff_raw, 3),
-            "map_eff_ceiling": round(map_eff, 3),
-            "eff_normalized": round(eff_raw / map_eff, 3) if map_eff else None,
-            "wall_round_sec": round(time.time() - t_start, 1),
-        }
-        with open(RUNS, "a") as f:
-            f.write(json.dumps(rec) + "\n")
-        print(json.dumps(rec), flush=True)
+
+def _run_round(rnd, args, py, scaling, mapsc, t_start) -> None:
+    p0 = probe()
+    m2 = run_json([py, mapsc, "--cpus", "2", "--files", str(args.map_files)])
+    f2 = run_json([py, scaling, "--cpus", "2", "--files", str(args.files)])
+    p1 = probe()
+    m8 = run_json([py, mapsc, "--cpus", "8", "--files", str(args.map_files)])
+    f8 = run_json([py, scaling, "--cpus", "8", "--files", str(args.files)])
+    p2 = probe()
+
+    eff_raw = (f2["wall_sec"] / f8["wall_sec"]) / 4.0
+    map_eff = (m2["wall_sec"] / m8["wall_sec"]) / 4.0
+    rec = {
+        "round": rnd,
+        "probes_gb_s": [p0, p1, p2],
+        "clean": min(p0, p1, p2) >= GATE_GB_S,
+        "gate_gb_s": GATE_GB_S,
+        "n_files": f2["n_files"],
+        "t2_sec": f2["wall_sec"],
+        "t8_sec": f8["wall_sec"],
+        "triples_per_sec_2c": f2["triples_per_sec"],
+        "triples_per_sec_8c": f8["triples_per_sec"],
+        "map_t2_sec": m2["wall_sec"],
+        "map_t8_sec": m8["wall_sec"],
+        "eff_raw": round(eff_raw, 3),
+        "map_eff_ceiling": round(map_eff, 3),
+        "eff_normalized": round(eff_raw / map_eff, 3) if map_eff else None,
+        "wall_round_sec": round(time.time() - t_start, 1),
+    }
+    with open(RUNS, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":
