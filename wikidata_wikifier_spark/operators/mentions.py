@@ -89,20 +89,30 @@ def label_context(mentions: DataFrame, top_tokens: int = CTX_TOP_TOKENS) -> Data
     corpus — the same exact-aggregate trick the other label-level stats
     use).
 
-    Scale: the pair generation self-joins the (repo, path, label) mention
-    table on the file key — linear in the corpus's co-occurrence pairs
-    (per-file mention counts are bounded by file size, so no quadratic
-    blowup per group); (label, token) counts aggregate with map-side
-    combine; the top-N cut is a bounded window over vocabulary-scale
-    keys. Output is one short string per distinct label."""
+    Scale: ONE file-keyed exchange total — per-file label SETS via a
+    map-side-combined collect_set (never a self-join, which would shuffle
+    the mention table twice and join it to itself), then co-occurrence
+    pairs exploded from each set (bounded per file by file size, so no
+    quadratic blowup per group); (label, token) counts aggregate with
+    map-side combine; the top-N cut is a bounded window over
+    vocabulary-scale keys. Output is one short string per distinct
+    label."""
     from pyspark.sql import Window
 
-    fl = mentions.select("repo", "path", "label_clean").dropDuplicates()
-    pairs = (
-        fl.join(
-            fl.select("repo", "path", F.col("label_clean").alias("tok")),
-            ["repo", "path"],
+    # the file key only partitions the set-build — shuffle a 64-bit hash
+    # instead of the (repo, path) strings (halves the exchange payload at
+    # corpus scale; a 64-bit collision merely merges two files' co-mention
+    # sets, which the top-N count smooths out)
+    sets = (
+        mentions.select(
+            F.xxhash64("repo", "path").alias("_fid"), "label_clean"
         )
+        .groupBy("_fid")
+        .agg(F.collect_set("label_clean").alias("ls"))
+    )
+    pairs = (
+        sets.select(F.explode("ls").alias("label_clean"), "ls")
+        .select("label_clean", F.explode("ls").alias("tok"))
         .where(F.col("label_clean") != F.col("tok"))
     )
     counts = pairs.groupBy("label_clean", "tok").agg(F.count(F.lit(1)).alias("c"))
