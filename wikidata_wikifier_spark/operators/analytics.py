@@ -12,7 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tpch import load_table
+from ..plans.skew import size_aware_broadcast
+from ..sources.tpch import load_table, table_rows
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -44,8 +45,20 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q3 shape: dim filter → broadcast join fact → agg → top-N."""
+def q3_top_orders(
+    spark: SparkSession, sf_dir: str, cust_rows: int | None = None
+) -> DataFrame:
+    """Q3 shape: dim filter → size-aware join fact → agg → top-N.
+
+    customer is NOT an unconditional broadcast: it grows with SF (150k×SF
+    rows — at SF≥35 the filtered segment alone tops the 5M-row broadcast
+    bound and an F.broadcast would OOM the driver). The cached footer
+    count feeds size_aware_broadcast, which degrades to a shuffle join +
+    AQE runtime promotion past the bound. cust_rows overrides the count
+    for tests forcing the large-side plan."""
+    n_cust = cust_rows if cust_rows is not None else table_rows(
+        spark, sf_dir, "customer"
+    )
     cust = load_table(spark, sf_dir, "customer").where(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -55,7 +68,7 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(size_aware_broadcast(cust, n_cust), orders["o_custkey"] == cust["c_custkey"])
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
             F.round(
@@ -72,8 +85,17 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q5 shape: snowflake of broadcast dims around the fact table."""
+def q5_region_volume(
+    spark: SparkSession, sf_dir: str, cust_rows: int | None = None
+) -> DataFrame:
+    """Q5 shape: snowflake of dims around the fact table. nation/region
+    are constant-size (25/5 rows at every SF) and supplier is 10k×SF —
+    unconditional broadcasts that hold to SF in the thousands. customer
+    (150k×SF) rides size_aware_broadcast with the cached footer count:
+    shuffle join + AQE past the 5M-row bound (SF≥~35)."""
+    n_cust = cust_rows if cust_rows is not None else table_rows(
+        spark, sf_dir, "customer"
+    )
     region = load_table(spark, sf_dir, "region")
     nation = load_table(spark, sf_dir, "nation")
     cust = load_table(spark, sf_dir, "customer")
@@ -83,7 +105,7 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(size_aware_broadcast(cust, n_cust), orders["o_custkey"] == cust["c_custkey"])
         .where(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == nation["n_nationkey"])
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
