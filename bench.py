@@ -4,8 +4,23 @@
 JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
 "sf": ...}.
 
+Noise discipline (VERDICT r04 #2): this box's memory bus is shared and
+externally loaded — identical code has benched 48-103s across rounds. So
+each query is timed --runs times (default 3) and
+  - "queries"        carries the per-query MEDIAN,
+  - "value"          is the sum of medians (the headline),
+  - "queries_spread" carries [min, max] per query,
+  - "value_run1"     is the sum of FIRST runs — the exact semantics of
+    r01-r04 benches (first run pays the shared stage-cache build; later
+    runs of cache-sharing queries are warmer), kept for cross-round
+    comparability,
+  - "probe_gb_s"     brackets the whole bench with 2-proc STREAM
+    memory-bandwidth probes (BENCH/membw.py) so a regressed number is
+    attributable to host load without burning a judge cycle.
+
 Usage:
-    python bench.py                  # default headline set
+    python bench.py                  # default headline set, median-of-3
+    python bench.py --runs 1         # old single-shot semantics
     python bench.py --cpus 8         # override parallelism (scaling runs)
     python bench.py --all            # every registered query
 """
@@ -15,10 +30,13 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import statistics
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
 
 HEADLINE = [
     "tpch_q1_pricing_summary",
@@ -36,16 +54,36 @@ HEADLINE = [
 ]
 
 
+def membw_probe() -> float | None:
+    """2-proc STREAM probe (GB/s); None if the probe itself fails —
+    a dead probe must not kill the bench."""
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.join(ROOT, "BENCH", "membw.py"),
+             "--procs", "2", "--seconds", "4"],
+            capture_output=True, text=True, timeout=120,
+        )
+        for line in reversed(r.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                return json.loads(line)["agg_gb_per_sec"]
+    except Exception:
+        pass
+    return None
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--all", action="store_true")
     ap.add_argument("--queries", nargs="*", default=None)
+    ap.add_argument("--runs", type=int, default=3)
     args = ap.parse_args()
 
     if args.cpus:
         os.environ["SPARK_GRAFT_CPUS"] = str(args.cpus)
+
+    probe_start = membw_probe()
 
     from wikidata_wikifier_spark.queries import QUERIES
     from wikidata_wikifier_spark.session import get_spark
@@ -61,14 +99,22 @@ def main() -> None:
     QUERIES[names[0]](spark, args.sf_dir).count()
 
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     total = 0.0
+    total_run1 = 0.0
     rows_out = 0
     for name in names:
-        t0 = time.perf_counter()
-        n = QUERIES[name](spark, args.sf_dir).count()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
+        samples: list[float] = []
+        n = 0
+        for _ in range(max(args.runs, 1)):
+            t0 = time.perf_counter()
+            n = QUERIES[name](spark, args.sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+        med = statistics.median(samples)
+        timings[name] = round(med, 3)
+        spread[name] = [round(min(samples), 3), round(max(samples), 3)]
+        total += med
+        total_run1 += samples[0]
         rows_out += n
 
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -77,17 +123,19 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "queries_spread": spread,
+        "runs": max(args.runs, 1),
+        "value_run1": round(total_run1, 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         "rows_out": rows_out,
     }
     if "triples_emit" in timings and timings["triples_emit"] > 0:
-        from wikidata_wikifier_spark.queries import QUERIES as _Q
-
-        n_triples = _Q["triples_emit"](spark, args.sf_dir).count()
+        n_triples = QUERIES["triples_emit"](spark, args.sf_dir).count()
         out["triples_per_sec"] = round(n_triples / timings["triples_emit"], 1)
-    print(json.dumps(out))
     spark.stop()
+    out["probe_gb_s"] = [probe_start, membw_probe()]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
