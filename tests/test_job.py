@@ -37,3 +37,21 @@ def test_job_main(spark, tmp_path, capsys, monkeypatch):
     stats2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats2["n_triples"] == 0
     assert stats2["skipped_parts"] == stats["written_parts"]
+
+
+def test_iceberg_branch_fails_actionably_without_catalog(spark, tmp_path):
+    """TRIPLE_TABLE_FORMAT=iceberg without a configured Iceberg catalog
+    must fail with an actionable error BEFORE any write — never silently
+    degrade to a different layout (ADVICE r04 / VERDICT r04 #7; the
+    sandbox has no Iceberg runtime jar, TESTDATA.md)."""
+    import pytest
+
+    from wikidata_wikifier_spark.plans.checkpoint import write_partitioned
+
+    triples = spark.createDataFrame(
+        [("s", "p", "o", 0)], "subj string, pred string, obj string, part int"
+    )
+    with pytest.raises(RuntimeError, match="Iceberg catalog"):
+        write_partitioned(triples, str(tmp_path / "ice"), fmt="iceberg")
+    with pytest.raises(ValueError, match="unknown triple table format"):
+        write_partitioned(triples, str(tmp_path / "x"), fmt="orc2")
