@@ -61,13 +61,14 @@ def main() -> None:
         else spark.read.parquet(args.index)
     )
 
-    # one metadata-cheap count of the entity index: the SAME size hint the
-    # pipeline's dimension joins use steers the output tail's typing join
-    # (size_aware_broadcast — a ~100M-row index must never be forced into
-    # a driver broadcast)
-    idx_rows = index.count()
-
-    links = wikify(source, index, k=args.k, salt=args.salt)
+    # ONE count job total for the size hints: wikify's label_candidates
+    # counts the alias index anyway (a real scan job, not metadata-free) and
+    # exposes it via the stats out-dict; the output tail's typing join
+    # reuses that number instead of re-scanning the ~100M-row index
+    # (size_aware_broadcast only gates a broadcast decision — the slightly
+    # larger alias-row count is a conservative stand-in for index rows)
+    wikify_stats: dict = {}
+    links = wikify(source, index, k=args.k, salt=args.salt, stats=wikify_stats)
     if args.edges:
         edges = (
             spark.read.table(args.edges)
@@ -75,7 +76,7 @@ def main() -> None:
             else spark.read.parquet(args.edges)
         )
         links = canonicalize_links(links, edges)
-    triples = links_to_triples(links, index, idx_rows=idx_rows)
+    triples = links_to_triples(links, index, idx_rows=wikify_stats["idx_rows"])
     stats = write_triples(triples, args.out, resume=args.resume)
     print(json.dumps(stats))
     if not pre_existing:

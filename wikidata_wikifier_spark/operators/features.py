@@ -518,6 +518,7 @@ def context_match_array(
     context_arr_col: str = "context_arr",
     context_col: str = "context",
     out: str = "context_score_array",
+    keep_micros: str | None = None,
 ) -> DataFrame:
     """context-match over the per-entity TYPED PROPERTY ARRAY
     (wikifier.py:159-162 with the context.jl aux file; SURVEY §1.2
@@ -537,6 +538,11 @@ def context_match_array(
     the fold is order-free and engine-exact (see semantic_tfidf_map).
     Casts are regex-guarded: ANSI mode is on, and a context token like
     'economy' must score 0 against a quantity property, not throw.
+
+    keep_micros: column name under which to RETAIN the per-entry score
+    array (aligned index-for-index with the coalesced context_arr) — the
+    relevant-properties second pass (context_score_relevant) reuses the
+    pass-1 entry scores instead of recomputing the token comparison.
     """
     toks = F.split(F.col(context_col), r"\|")
 
@@ -544,10 +550,18 @@ def context_match_array(
         v = s["value"]
 
         def per_tok(t: Column) -> Column:
+            # levenshtein_similarity("", "") = 1.0, and a missing mention
+            # context coalesced to "" splits into one empty token — an
+            # empty-valued context entry must not score a perfect match
+            # against every context-less mention (ADVICE r04), so the
+            # string branch requires BOTH sides non-empty
             str_sim = levenshtein_similarity(F.lower(t), F.lower(v))
-            str_score = F.when(str_sim >= CONTEXT_STRING_SIM_MIN, str_sim).otherwise(
-                F.lit(0.0)
-            )
+            str_score = F.when(
+                (F.length(t) > 0)
+                & (F.length(v) > 0)
+                & (str_sim >= CONTEXT_STRING_SIM_MIN),
+                str_sim,
+            ).otherwise(F.lit(0.0))
             tq = F.when(t.rlike(_NUM_RE), t).cast("double")
             vq = F.when(v.rlike(_NUM_RE), v).cast("double")
             # both sides must parse: Spark's greatest() skips NULLs (a
@@ -602,7 +616,7 @@ def context_match_array(
     total = F.aggregate(
         F.col("_ctx_micros"), F.lit(0).cast("long"), lambda acc, x: acc + x
     )
-    return (
+    res = (
         out_df.withColumn("n_ctx_props", n_props)
         .withColumn("n_ctx_matched", matched)
         .withColumn(
@@ -611,7 +625,79 @@ def context_match_array(
                 F.round(total / (n_props * F.lit(1e6)), 6)
             ),
         )
-        .drop("_ctx_micros")
+    )
+    if keep_micros:
+        return res.withColumnRenamed("_ctx_micros", keep_micros)
+    return res.drop("_ctx_micros")
+
+
+def context_score_relevant(
+    cands: DataFrame,
+    hc_col: str = "ignore_candidate",
+    micros_col: str = "_ctx_micros",
+    context_arr_col: str = "context_arr",
+    weight_col: str | None = None,
+    out: str = "context_score_3",
+) -> DataFrame:
+    """context-match --use-relevant-properties (wikifier.py:187-189): the
+    second context pass restricted to the RELEVANT properties — those that
+    matched for at least half of the high-confidence candidates in pass 1
+    (--save-relevant-properties writes exactly these stats; the tabular
+    twin is the rel_brand/rel_class/rel_size rate block in the
+    features_context_match oracle, f10).
+
+    Works at LABEL level: pass-1 per-entry scores (micros_col, from
+    context_match_array(keep_micros=...)) are exploded per property for
+    the HC rows only (hc_col == 0 — ignore_candidate semantics), rates are
+    exact-integer weighted by the label's mention multiplicity
+    (2·Σw·matched ≥ Σw ⟺ weighted rate ≥ 0.5, no float mean), and the
+    relevant-property set — property-vocabulary-sized, i.e. tiny — is
+    broadcast back as ONE array. The restricted score is then a pure array
+    fold per row: mean of pass-1 entry micros over the candidate's
+    relevant-property entries, 0 when it has none (mirrors the tabular
+    0-when-no-relevant rule)."""
+    ctx_arr = F.coalesce(
+        F.col(context_arr_col),
+        F.array().cast("array<struct<property:string,value:string,vtype:string>>"),
+    )
+    prop_micro = F.zip_with(
+        ctx_arr,
+        F.col(micros_col),
+        lambda e, m: F.struct(e["property"].alias("property"), m.alias("micro")),
+    )
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    hc_pairs = cands.where(F.col(hc_col) == 0).select(
+        F.explode(prop_micro).alias("pm"), w.cast("long").alias("_w")
+    )
+    rates = hc_pairs.groupBy(F.col("pm.property").alias("property")).agg(
+        F.sum(F.when(F.col("pm.micro") > 0, F.col("_w")).otherwise(0)).alias("_m"),
+        F.sum("_w").alias("_n"),
+    )
+    rel = rates.where(2 * F.col("_m") >= F.col("_n")).select("property")
+    # ONE row: the sorted relevant-property set (collect_set over an empty
+    # input still yields a row with an empty array via the global agg)
+    rel_arr = rel.agg(F.array_sort(F.collect_set("property")).alias("_rel_props"))
+    kept = F.filter(
+        prop_micro,
+        lambda pm: F.array_contains(F.col("_rel_props"), pm["property"]),
+    )
+    n_rel = F.size(kept)
+    total = F.aggregate(
+        F.transform(kept, lambda pm: pm["micro"]),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cands.crossJoin(F.broadcast(rel_arr))
+        .withColumn(
+            out,
+            # <= guards size(NULL) = -1 (an empty/absent relevant set must
+            # score 0, never propagate a NULL fold)
+            F.when(n_rel <= 0, F.lit(0.0)).otherwise(
+                F.round(total / (n_rel * F.lit(1e6)), 6)
+            ),
+        )
+        .drop("_rel_props")
     )
 
 
@@ -717,32 +803,31 @@ def _lof_scores(x: "np.ndarray", k: int) -> "np.ndarray":
     return lrd[nbr].mean(axis=1) / np.maximum(lrd, 1e-12)
 
 
-def embedding_centroid_lof_score(
+def lof_surviving_anchors(
     cands: DataFrame,
     emb_dim: DataFrame | None = None,
     anchor_col: str = "pseudo_gt",
     emb_col: str = "embedding",
-    out: str = "pgt_centroid_lof_score",
     k: int = LOF_K,
     threshold: float = LOF_THRESHOLD,
     max_anchors: int = LOF_MAX_ANCHORS,
     dim_rows: int | None = None,
 ) -> DataFrame:
-    """score-using-embedding --column-vector-strategy centroid-of-lof
-    (wikifier.py:191-195): LOF-filter the anchor embeddings, centroid the
-    INLIERS only, then cosine(candidate, centroid) — one noisy pseudo-GT
-    anchor no longer skews the centroid.
+    """The LOF-INLIER anchor qnodes — the single non-SQL-expressible step
+    of centroid-of-lof, factored out so callers can materialize it to the
+    oracle handoff and let DuckDB verify the (pure SQL) centroid + cosine
+    tail exactly (VERDICT r04 #5).
 
     Plan: the anchor set is the DISTINCT anchor qnodes' embeddings —
     entity-scale, not candidate-scale — deterministically capped at
-    max_anchors (ordered by md5(qnode), stable across partitionings, the
-    LOF distance matrix is O(n²)). LOF runs in one applyInPandas numpy
-    task; groups of < 3 points fall back to the plain centroid (LOF is
-    undefined). The cosine join-back is per distinct qnode exactly like
-    embedding_centroid_score. MLP math is not ANSI-SQL-expressible and
-    neither is LOF → driver check is rows-only; bit-level behavior is
-    pinned by tests/test_lof.py against the planted outliers in
-    datagen.entity_rows."""
+    max_anchors (ordered by md5(qnode), stable across partitionings; the
+    LOF distance matrix is O(n²)). orderBy+limit compiles to
+    TakeOrderedAndProject: each task keeps its partition's top-N and the
+    driver merges N-sized heaps — identical selection to a global rank
+    WITHOUT funneling the whole anchor set through one task. LOF itself
+    runs in one applyInPandas numpy task over ≤ max_anchors rows; groups
+    of < 3 points are returned whole (LOF is undefined — plain-centroid
+    fallback)."""
     import pandas as pd
 
     if emb_dim is None:
@@ -753,12 +838,6 @@ def embedding_centroid_lof_score(
         .distinct()
         .join(size_aware_broadcast(emb_dim, dim_rows), "qnode")
     )
-    # deterministic cap = the max_anchors SMALLEST md5(qnode) values.
-    # orderBy+limit compiles to TakeOrderedAndProject: each task keeps its
-    # partition's top-N and the driver merges N-sized heaps — identical
-    # selection to a global rank, WITHOUT funneling the whole anchor set
-    # through one task (the former Window.partitionBy(lit(1)) did exactly
-    # that single-task global sort).
     anchors = (
         anchors.withColumn("_h", F.md5("qnode"))
         .orderBy("_h")
@@ -766,22 +845,46 @@ def embedding_centroid_lof_score(
         .drop("_h")
     )
 
-    def lof_centroid(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def survivors(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import numpy as np
 
         x = np.asarray(pdf[emb_col].tolist(), dtype=np.float64)
+        keep = np.ones(len(x), dtype=bool)
         if len(x) >= 3:
             lof = _lof_scores(x, min(k, len(x) - 1))
-            keep = lof <= threshold
-            if keep.any():
-                x = x[keep]
-        c = np.round(x.mean(axis=0), 6)
-        return pd.DataFrame({"i": np.arange(len(c), dtype=np.int32), "c": c})
+            flagged = lof <= threshold
+            if flagged.any():
+                keep = flagged
+        return pd.DataFrame({"qnode": pdf["qnode"].to_numpy()[keep]})
 
-    centroid = (
+    return (
         anchors.withColumn("_g", F.lit(1))
         .groupBy("_g")
-        .applyInPandas(lof_centroid, "i int, c double")
+        .applyInPandas(survivors, "qnode string")
+    )
+
+
+def centroid_cosine_scores(
+    cands: DataFrame,
+    anchor_qnodes: DataFrame,
+    emb_dim: DataFrame,
+    out: str,
+    emb_col: str = "embedding",
+    dim_rows: int | None = None,
+) -> DataFrame:
+    """cosine(candidate, centroid-of(anchor_qnodes)) joined back onto
+    cands — pure relational algebra (posexplode + avg + cosine fold), the
+    SQL-expressible tail of both centroid strategies. Centroid components
+    are rounded to 6 decimals before the cosine so the score reproduces
+    across engines and partition orders (same discipline as
+    embedding_centroid_score)."""
+    a_emb = anchor_qnodes.select("qnode").join(
+        size_aware_broadcast(emb_dim, dim_rows), "qnode"
+    )
+    centroid = (
+        a_emb.select(F.posexplode(emb_col).alias("i", "v"))
+        .groupBy("i")
+        .agg(F.round(F.avg("v"), 6).alias("c"))
     )
     qn = (
         cands.select("qnode")
@@ -807,6 +910,39 @@ def embedding_centroid_lof_score(
     )
     return cands.join(size_aware_broadcast(scores, dim_rows), "qnode", "left").na.fill(
         {out: 0.0}
+    )
+
+
+def embedding_centroid_lof_score(
+    cands: DataFrame,
+    emb_dim: DataFrame | None = None,
+    anchor_col: str = "pseudo_gt",
+    emb_col: str = "embedding",
+    out: str = "pgt_centroid_lof_score",
+    k: int = LOF_K,
+    threshold: float = LOF_THRESHOLD,
+    max_anchors: int = LOF_MAX_ANCHORS,
+    dim_rows: int | None = None,
+) -> DataFrame:
+    """score-using-embedding --column-vector-strategy centroid-of-lof
+    (wikifier.py:191-195): LOF-filter the anchor embeddings, centroid the
+    INLIERS only, then cosine(candidate, centroid) — one noisy pseudo-GT
+    anchor no longer skews the centroid.
+
+    Composition of lof_surviving_anchors (numpy LOF, rows-only checkable)
+    and centroid_cosine_scores (pure SQL — and since r05 ORACLE-checked
+    end-to-end via the survivor-set parquet handoff in
+    queries.q_centroid_lof). LOF's numeric behavior stays pinned by
+    tests/test_lof.py against the planted outliers in
+    datagen.entity_rows."""
+    if emb_dim is None:
+        emb_dim = cands.groupBy("qnode").agg(F.first(emb_col).alias(emb_col))
+    surv = lof_surviving_anchors(
+        cands, emb_dim=emb_dim, anchor_col=anchor_col, emb_col=emb_col,
+        k=k, threshold=threshold, max_anchors=max_anchors, dim_rows=dim_rows,
+    )
+    return centroid_cosine_scores(
+        cands, surv, emb_dim, out, emb_col=emb_col, dim_rows=dim_rows
     )
 
 

@@ -77,9 +77,21 @@ def _lang_hit_array(lang: str) -> "Column":
 
 
 CTX_TOP_TOKENS = 8
+# Hard cap on the per-file distinct-label set entering the co-occurrence
+# pair explode. The explode is quadratic in the per-file set size, and a
+# generated mega-file (bundled/minified source, giant notebook) can carry
+# tens of thousands of distinct labels — 10k labels = 100M pairs from ONE
+# row, a single straggler task no parallelism can split. 256 labels caps
+# any file at ≤65k pairs (~the pair count of a normal large file) while
+# covering the full set of every ordinary source file.
+CTX_MAX_FILE_LABELS = 256
 
 
-def label_context(mentions: DataFrame, top_tokens: int = CTX_TOP_TOKENS) -> DataFrame:
+def label_context(
+    mentions: DataFrame,
+    top_tokens: int = CTX_TOP_TOKENS,
+    max_file_labels: int = CTX_MAX_FILE_LABELS,
+) -> DataFrame:
     """Per-LABEL co-mention context: for every distinct label, the top-N
     other labels it shares files with, pipe-joined — the source-code
     analogue of `tl canonicalize --add-context`'s row context
@@ -92,11 +104,19 @@ def label_context(mentions: DataFrame, top_tokens: int = CTX_TOP_TOKENS) -> Data
     Scale: ONE file-keyed exchange total — per-file label SETS via a
     map-side-combined collect_set (never a self-join, which would shuffle
     the mention table twice and join it to itself), then co-occurrence
-    pairs exploded from each set (bounded per file by file size, so no
-    quadratic blowup per group); (label, token) counts aggregate with
+    pairs exploded from each set; (label, token) counts aggregate with
     map-side combine; the top-N cut is a bounded window over
     vocabulary-scale keys. Output is one short string per distinct
-    label."""
+    label.
+
+    The pair explode is QUADRATIC in the per-file set size, so the set is
+    hard-capped at max_file_labels before exploding: array_sort + slice
+    keeps the lexicographically-first N labels — deterministic across
+    partitionings (a sampled subset would not be), and a mega-file
+    contributes at most N² pairs instead of stalling its task with an
+    unbounded |labels|² blowup. Ordinary files sit far below the cap, so
+    their context is byte-identical with or without it (pinned by
+    tests/test_context_pipeline.py::test_label_context_hot_file_capped)."""
     from pyspark.sql import Window
 
     # the file key only partitions the set-build — shuffle a 64-bit hash
@@ -108,7 +128,11 @@ def label_context(mentions: DataFrame, top_tokens: int = CTX_TOP_TOKENS) -> Data
             F.xxhash64("repo", "path").alias("_fid"), "label_clean"
         )
         .groupBy("_fid")
-        .agg(F.collect_set("label_clean").alias("ls"))
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_set("label_clean")), 1, max_file_labels
+            ).alias("ls")
+        )
     )
     pairs = (
         sets.select(F.explode("ls").alias("label_clean"), "ls")
@@ -225,7 +249,15 @@ def detect_mentions(source: DataFrame, with_context: bool = True) -> DataFrame:
     )
     if with_context:
         deduped = deduped.withColumn(
-            "file_labels", F.array_sort(F.collect_set("label_clean").over(w_file))
+            # same hot-file discipline as label_context: cap the per-row
+            # co-mention set at CTX_MAX_FILE_LABELS (sorted, deterministic)
+            # so a mega-file can't attach an unbounded array to every row
+            "file_labels",
+            F.slice(
+                F.array_sort(F.collect_set("label_clean").over(w_file)),
+                1,
+                CTX_MAX_FILE_LABELS,
+            ),
         ).withColumn(
             # context = the other mention labels found in the same file
             # (pipe-join), the analogue of canonicalize --add-context

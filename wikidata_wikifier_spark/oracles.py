@@ -1,9 +1,10 @@
 """DuckDB oracle SQL for every driver-checked query in queries.py.
 
-Parquet handoff: features_pseudo_gt_mlp_anchor reads the MLP scores the
-Spark query materialized under ORACLE_CACHE (keyed by the part-table row
-count), so the non-SQL-expressible MLP input feeds an exactly-checked SQL
-threshold.
+Parquet handoff: features_pseudo_gt_mlp_anchor / wikify_end_to_end /
+features_centroid_lof read the stage output the Spark query materialized
+under ORACLE_CACHE (keyed by the part+lineitem row-count fingerprint —
+see queries._handoff), so a non-SQL-expressible stage (MLP, LOF) feeds an
+exactly-checked SQL tail.
 
 Shared CTE fragments mirror operators/linking_fixture.py and the
 normalization in functions/strings.py verbatim; any change there must be
@@ -790,6 +791,42 @@ ORACLES: dict[str, str] = {
     "features_pseudo_gt": FEATURE_CTES + "SELECT row, qnode, pseudo_gt FROM f9",
     "features_centroid": FEATURE_CTES
     + "SELECT row, qnode, pgt_centroid_score FROM f11",
+    # centroid-of-lof: the Spark query materialized the LOF-INLIER anchor
+    # qnodes (the only non-SQL step) to the shared handoff; the oracle
+    # recomputes the centroid over exactly those anchors and the cosine
+    # join-back — the same SQL tail as features_centroid (f11) but with
+    # the survivor-set centroid
+    "features_centroid_lof": FEATURE_CTES
+    + f""",
+    lof_surv AS MATERIALIZED (
+        SELECT DISTINCT qnode
+        FROM read_parquet('{ORACLE_CACHE}/lof_survivors/*/*.parquet')
+        WHERE n_part = (SELECT count(*) FROM part)
+          AND n_li = (SELECT count(*) FROM lineitem)
+    ),
+    lof_emb AS MATERIALIZED (
+        SELECT DISTINCT f10.qnode, f10.embedding
+        FROM f10 JOIN lof_surv USING (qnode)
+    ),
+    lof_cent AS MATERIALIZED (
+        SELECT i, round(avg(v), 6) AS c
+        FROM (SELECT unnest(embedding) AS v, unnest(generate_series(1, 8)) AS i
+              FROM lof_emb)
+        GROUP BY i
+    ),
+    lof_sums AS MATERIALIZED (
+        SELECT row, qnode, sum(v * c) AS dot, sum(v * v) AS nv, sum(c * c) AS nc
+        FROM (SELECT row, qnode, unnest(embedding) AS v,
+                     unnest(generate_series(1, 8)) AS i FROM f10) x
+        JOIN lof_cent USING (i)
+        GROUP BY row, qnode
+    )
+    SELECT f10.row, f10.qnode,
+           coalesce(CASE WHEN nv * nc = 0 THEN 0.0
+                         ELSE round(dot / (sqrt(nv) * sqrt(nc)), 6) END,
+                    0.0) AS pgt_centroid_lof_score
+    FROM f10 LEFT JOIN lof_sums USING (row, qnode)
+    """,
     "features_pgt_tfidf_map": FEATURE_CTES
     + """SELECT row, qnode, pgt_class_count_tf_idf_score,
                 pgt_property_count_tf_idf_score FROM f13""",
@@ -869,7 +906,10 @@ ORACLES: dict[str, str] = {
         SELECT c.row, c.qnode, e.property,
                CAST(floor(max(
                    CASE WHEN e.vtype = 'string' THEN
-                            (CASE WHEN ({_lev_sim("lower(t)", "lower(e.value)")}) >= 0.85
+                            -- both sides non-empty (mirrors features.context_match_array:
+                            -- lev_sim('','')=1.0 must not match empty context tokens)
+                            (CASE WHEN length(t) > 0 AND length(e.value) > 0
+                                   AND ({_lev_sim("lower(t)", "lower(e.value)")}) >= 0.85
                                   THEN ({_lev_sim("lower(t)", "lower(e.value)")}) ELSE 0.0 END)
                         WHEN e.vtype = 'quantity' THEN
                             (CASE WHEN regexp_matches(t, '^-?[0-9]+(\\.[0-9]+)?$')
@@ -910,6 +950,7 @@ ORACLES: dict[str, str] = {
         SELECT row, qnode, pred_micro
         FROM read_parquet('{ORACLE_CACHE}/pseudo_gt_pred/*/*.parquet')
         WHERE n_part = (SELECT count(*) FROM part)
+          AND n_li = (SELECT count(*) FROM lineitem)
     ),
     mlpb AS MATERIALIZED (
         SELECT f7.row, f7.qnode, f7.smc_class_score, mlp.pred_micro
@@ -932,6 +973,7 @@ ORACLES: dict[str, str] = {
                    siamese_prediction
             FROM read_parquet('{ORACLE_CACHE}/siamese_pred/*/*.parquet')
             WHERE n_part = (SELECT count(*) FROM part)
+              AND n_li = (SELECT count(*) FROM lineitem)
         )
         SELECT row, label_clean, qnode, kg_label, siamese_prediction, rank,
                CASE WHEN siamese_prediction > 0.95 AND rank = 1

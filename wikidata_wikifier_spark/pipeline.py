@@ -36,9 +36,15 @@ def wikify(
     index: DataFrame,
     k: int = 1,
     salt: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """source(repo,path,commit,lang,content) × index(ENTITY_INDEX) →
     LINKS table (top-k per mention + match flag), sha256 carried through.
+
+    stats: pass a dict to receive {"idx_rows": <alias-index row count>} —
+    the size hint label_candidates computes anyway (one count job). Callers
+    that need a hint for their own index-side joins (job.py's typing join
+    in links_to_triples) reuse it instead of re-scanning the index.
 
     LABEL-LEVEL EXECUTION: every retrieval score, string similarity,
     ranker feature, MLP prediction, rank, and match flag depends only on
@@ -75,6 +81,8 @@ def wikify(
     lab_cands, idx_rows = cand_ops.label_candidates(
         m.select("label_clean"), index.select("qnode", "label", "aliases", "pagerank")
     )
+    if stats is not None:
+        stats["idx_rows"] = idx_rows
     # every index-side dimension join carries the exact idx_rows hint so
     # the broadcast degrades to a shuffle join past BROADCAST_MAX_ROWS
     # (a ~100M-entity index must NOT be driver-broadcast)
@@ -111,9 +119,9 @@ def wikify(
                 "left",
             )
         )
-        full = features.context_match_array(full, out="context_score_arr").drop(
-            "context", "context_arr", "n_ctx_props", "n_ctx_matched"
-        )
+        full = features.context_match_array(
+            full, out="context_score_arr", keep_micros="_ctx_micros"
+        ).drop("context", "n_ctx_props", "n_ctx_matched")
     full = full.localCheckpoint()  # vocabulary-sized: barrier is ~free
     f = features.string_similarity_features(
         full, alias_dim=index.select("qnode", "aliases"), dim_rows=idx_rows
@@ -121,13 +129,20 @@ def wikify(
     f = features.singleton_feature(f, cell_cols=["label_clean"])
     f = features.pick_hc_candidates(f)
     if use_context:
-        # co-mention context vs the index's typed property arrays; the
-        # array score feeds both context slots (the --use-relevant-
-        # properties second pass needs per-property HC stats that don't
-        # exist at label level — documented simplification)
-        f = f.withColumn("context_score", F.col("context_score_arr")).withColumn(
-            "context_score_3", F.col("context_score_arr")
-        ).drop("context_score_arr")
+        # co-mention context vs the index's typed property arrays.
+        # context_score = pass-1 full mean; context_score_3 = the
+        # --use-relevant-properties SECOND pass (wikifier.py:187-189):
+        # per-property match rates over the HC candidates (ignore_candidate
+        # = 0, exact integer weights) pick the relevant property set, and
+        # the score is re-derived restricted to it — a genuinely distinct
+        # ranker signal, not an alias of pass 1.
+        f = f.withColumn("context_score", F.col("context_score_arr"))
+        # the relevance-rate aggregate and the main table both read f —
+        # barrier (vocabulary-scale, ~free) so the string-sim kernel isn't
+        # recomputed by the second branch of the fan-out
+        f = f.localCheckpoint()
+        f = features.context_score_relevant(f, weight_col="w")
+        f = f.drop("context_score_arr", "context_arr", "_ctx_micros")
     else:
         # no context source (index without context_arr) → scores are 0;
         # kth-percentile anchoring falls back to string-sim quality

@@ -23,7 +23,7 @@ from .operators.linking_fixture import (
     entity_index,
     property_key_dim,
 )
-from .sources.tpch import load_table
+from .sources.tpch import load_table, table_rows
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -441,13 +441,21 @@ def q_per_column_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_centroid_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """centroid-of-lof variant (wikifier.py:191-195): LOF outlier drop on
-    the anchor set before the centroid. LOF is not ANSI-SQL-expressible →
-    rows-only driver check; numeric behavior pinned by tests/test_lof.py."""
+    the anchor set before the centroid. ORACLE-CHECKED since r05 via the
+    survivor-set parquet handoff: the LOF inlier qnodes — the only
+    non-SQL step — are materialized, BOTH engines read the same file, and
+    DuckDB recomputes the centroid + cosine tail exactly. LOF's own
+    numerics stay pinned by tests/test_lof.py."""
     f = featured_candidates(spark, sf_dir)
     idx = entity_index(spark, sf_dir)
-    out = features.embedding_centroid_lof_score(
-        f, emb_dim=idx.select("qnode", "embedding"),
-        dim_rows=index_rows(spark, sf_dir),
+    n = index_rows(spark, sf_dir)
+    emb_dim = idx.select("qnode", "embedding")
+    surv = features.lof_surviving_anchors(f, emb_dim=emb_dim, dim_rows=n)
+    path, fp_cols = _handoff(spark, sf_dir, "lof_survivors")
+    surv.select("qnode", *fp_cols).write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path).select("qnode")
+    out = features.centroid_cosine_scores(
+        f, back, emb_dim, out="pgt_centroid_lof_score", dim_rows=n
     )
     return out.select("row", "qnode", "pgt_centroid_lof_score")
 
@@ -494,13 +502,26 @@ def q_reconcile_response(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Parquet handoff dir for oracle-checking stages whose INPUT is a
-# non-SQL-expressible computation (the pseudo-GT MLP): the Spark query
-# materializes the MLP scores here and BOTH engines read the same file, so
-# the downstream threshold logic is hash-checked exactly. Keyed by the
-# part-table row count so different SFs never collide.
+# non-SQL-expressible computation (the MLPs, the LOF survivor set): the
+# Spark query materializes the stage output here and BOTH engines read the
+# same file, so the downstream logic is hash-checked exactly. Keyed by a
+# TWO-table fingerprint (part + lineitem row counts) — the oracle SQL is
+# static and can only filter on quantities derivable from its registered
+# views, and two scale factors with identical part AND lineitem counts are
+# the same dataset (a part-count-only key let equal-part-count dirs
+# silently overwrite each other, ADVICE r04).
 ORACLE_CACHE = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".oracle_cache"
 )
+
+
+def _handoff(spark: SparkSession, sf_dir: str, stage: str) -> tuple[str, list]:
+    """(path, fingerprint literal columns) for an oracle handoff write."""
+    n_part = table_rows(spark, sf_dir, "part")
+    n_li = table_rows(spark, sf_dir, "lineitem")
+    path = os.path.join(ORACLE_CACHE, stage, f"n{n_part}_l{n_li}")
+    cols = [F.lit(n_part).alias("n_part"), F.lit(n_li).alias("n_li")]
+    return path, cols
 
 
 def q_pseudo_gt_mlp_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -510,7 +531,7 @@ def q_pseudo_gt_mlp_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-mean boolean (exact integer-micros comparison) is verified
     hash-exact. Removes the pgr_rts-proxy caveat on the checked chain."""
     f = featured_candidates(spark, sf_dir)
-    n_part = load_table(spark, sf_dir, "part").count()
+    path, fp_cols = _handoff(spark, sf_dir, "pseudo_gt_pred")
     pred = ranker.predict_using_model(
         f,
         ranker.PSEUDO_GT_FEATURES,
@@ -525,11 +546,10 @@ def q_pseudo_gt_mlp_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("pseudo_gt_prediction") * 1e6 + F.lit(0.5))
         .cast("long")
         .alias("pred_micro"),
-        F.lit(n_part).alias("n_part"),
+        *fp_cols,
     )
-    path = os.path.join(ORACLE_CACHE, "pseudo_gt_pred", f"n{n_part}")
     pred.write.mode("overwrite").parquet(path)
-    back = spark.read.parquet(path).drop("n_part")
+    back = spark.read.parquet(path).drop("n_part", "n_li")
     base = f.select("row", "qnode", "smc_class_score").join(back, ["row", "qnode"])
     out = features.create_pseudo_gt(
         base, "pred_micro", "smc_class_score", out="pseudo_gt_mlp", integral=True
@@ -664,14 +684,13 @@ def q_wikify_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     # score handoff: materialize the MLP output; downstream top-k + match
     # rule run off the SAME file in both engines (hash-exact oracle).
     # retrieval_score rides along because it is get_kg_links' tie-break.
-    n_part = load_table(spark, sf_dir, "part").count()
+    path, fp_cols = _handoff(spark, sf_dir, "siamese_pred")
     scored = f.select(
         "row", "label_clean", "qnode", "kg_label", "retrieval_score",
-        "siamese_prediction", F.lit(n_part).alias("n_part"),
+        "siamese_prediction", *fp_cols,
     )
-    path = os.path.join(ORACLE_CACHE, "siamese_pred", f"n{n_part}")
     scored.write.mode("overwrite").parquet(path)
-    back = spark.read.parquet(path).drop("n_part")
+    back = spark.read.parquet(path).drop("n_part", "n_li")
     links = topk.get_kg_links(back, k=1, score_col="siamese_prediction")
     links = topk.apply_match_rule(links)
     return links.select(
