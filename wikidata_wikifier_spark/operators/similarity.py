@@ -94,16 +94,46 @@ def lsh_bucket_gated(vec: Column, depth: Column, max_planes: int) -> Column:
     return bucket
 
 
+def probe_buckets(
+    bucket: Column, n_planes: int = N_PLANES, radius: int = 1
+) -> Column:
+    """Multi-probe bucket set: the signature itself plus every bucket
+    within Hamming distance `radius` of it (radius 1 = the n_planes
+    one-bit flips — the buckets a near-boundary vector most likely hashed
+    into). XOR is spelled arithmetically (b + 2^p − 2·(b & 2^p)) so the
+    identical expression runs bit-equal in any SQL engine. All entries
+    are distinct by construction, and each corpus vector lives in exactly
+    ONE bucket, so probing never produces duplicate candidate pairs.
+    Radius ≥ 2 is deliberately unsupported: the probe set grows
+    C(n_planes, 2)-fold while recall gains taper — at that point add
+    planes or a second independent hash table instead."""
+    if radius > 1:
+        raise ValueError("probe radius > 1 unsupported; use more planes")
+    probes = [bucket]
+    if radius >= 1:
+        for p in range(n_planes):
+            bit = F.lit(2 ** p).cast("long")
+            probes.append(bucket + bit - 2 * bucket.bitwiseAND(bit))
+    return F.array(*probes)
+
+
 def lsh_topk(
     embs: DataFrame,
     queries: DataFrame,
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    probe_radius: int = 1,
 ) -> DataFrame:
     """Approximate top-k: corpus bucketed by hyperplane signature; each
-    query only scans its own bucket. Recall < 1 by construction (that's
-    the approximation); the oracle reproduces the same buckets exactly."""
+    query scans its own bucket plus (multi-probe, default radius 1) the
+    one-bit-flip neighbor buckets — the standard recall fix for a vector
+    that lands near a hyperplane and whose true neighbors straddle it.
+    The corpus side is untouched (still bucketed ONCE, one narrow
+    projection); only the small broadcast query side fans out ×(planes+1).
+    Recall < 1 remains possible by construction (that's the
+    approximation); the oracle reproduces the same probe set exactly.
+    probe_radius=0 restores single-probe behavior."""
     c = embs.select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("nv"),
@@ -112,7 +142,9 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("qv"),
-        lsh_bucket(F.col(vec_col)).alias("bucket"),
+        F.explode(
+            probe_buckets(lsh_bucket(F.col(vec_col)), radius=probe_radius)
+        ).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")

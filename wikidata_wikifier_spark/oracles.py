@@ -517,7 +517,11 @@ _COSINE_DEPTH = (
 )
 
 
-_LSH_BUCKET = _lsh_bucket_sql(8)
+# plane count must stay in lockstep with operators/similarity.py::N_PLANES
+# (oracles.py stays import-free of the Spark package so DuckDB checks can
+# run without a JVM on the path)
+N_PLANES = 8
+_LSH_BUCKET = _lsh_bucket_sql(N_PLANES)
 
 _LANG_SCORES = ",\n           ".join(
     f"len(list_filter(toks, t -> list_contains({words!r}, t))) AS score_{lang}"
@@ -1147,10 +1151,20 @@ ORACLES: dict[str, str] = {
         q AS MATERIALIZED (
             SELECT vec_id AS q_id, v AS qv, bucket FROM bucketed WHERE vec_id % 100 = 0
         ),
+        -- multi-probe radius 1 (similarity.py::probe_buckets): own bucket
+        -- plus each one-bit flip; XOR spelled b + 2^p - 2*(b & 2^p) so the
+        -- expression matches the Spark side bit-for-bit
+        qp AS MATERIALIZED (
+            SELECT q_id, qv, bucket FROM q
+            UNION ALL
+            SELECT q_id, qv,
+                   bucket + (1 << p) - 2 * (bucket & (1 << p)) AS bucket
+            FROM q, generate_series(0, {N_PLANES - 1}) AS t(p)
+        ),
         s AS MATERIALIZED (
             SELECT q_id, c.vec_id AS n_id,
                    round(list_cosine_similarity(qv, c.v), 6) AS cosine
-            FROM bucketed c JOIN q USING (bucket) WHERE q_id <> c.vec_id
+            FROM bucketed c JOIN qp USING (bucket) WHERE q_id <> c.vec_id
         )
         SELECT q_id, n_id, cosine, rank FROM (
             SELECT *, row_number() OVER (PARTITION BY q_id
