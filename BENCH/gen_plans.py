@@ -66,15 +66,37 @@ section(
     "shuffle join (BENCH/broadcast_runs.jsonl evidences both paths).",
     keep=["Join", "Exchange", "PushedFilters", "ReadSchema"],
 )
-section(
-    "features_centroid_lof — distributed anchor cap (no single-task sort)",
-    "features_centroid_lof",
-    "The 1024-anchor cap for the O(n²) LOF matrix is a TakeOrderedAndProject "
-    "(per-partition top-N + driver merge) — the former "
-    "Window.partitionBy(lit(1)) global sort is gone; the only single-task "
-    "stage left is the LOF numpy kernel itself over ≤1024 rows.",
-    keep=["TakeOrdered", "Window", "ArrowEvalPython", "FlatMapGroupsInPandas",
-          "Exchange", "Join"],
+# The registered features_centroid_lof query splits at the oracle
+# handoff (survivor set → parquet → SQL tail), so its own plan only shows
+# the cosine tail. Audit the PRODUCER — lof_surviving_anchors — directly:
+# the 1024-anchor cap must stay a TakeOrderedAndProject (per-partition
+# top-N + driver merge, never a single-task global sort), and the only
+# single-task stage is the LOF numpy kernel itself over ≤1024 rows.
+from wikidata_wikifier_spark.operators import features as _feats
+from wikidata_wikifier_spark.queries import featured_candidates, entity_index, index_rows
+_f = featured_candidates(spark, sf)
+_surv = _feats.lof_surviving_anchors(
+    _f, emb_dim=entity_index(spark, sf).select("qnode", "embedding"),
+    dim_rows=index_rows(spark, sf),
+)
+buf = io.StringIO()
+with contextlib.redirect_stdout(buf):
+    _surv.explain("formatted")
+keep = ["TakeOrdered", "Window", "ArrowEvalPython", "FlatMapGroupsInPandas",
+        "Exchange", "Join"]
+lines = [l for l in buf.getvalue().splitlines() if any(k in l for k in keep)]
+out.write(
+    "## lof_surviving_anchors — distributed anchor cap "
+    "(no single-task sort)\n\n"
+    "Producer side of features_centroid_lof (the registered query reads\n"
+    "the survivor set back from the oracle-handoff parquet, so its own\n"
+    "plan is just the cosine tail). The 1024-anchor cap for the O(n²)\n"
+    "LOF matrix is a TakeOrderedAndProject (per-partition top-N + driver\n"
+    "merge) — no Window.partitionBy(lit(1)) global sort; the only\n"
+    "single-task stage is the LOF numpy kernel (FlatMapGroupsInPandas)\n"
+    "over ≤1024 rows.\n\n"
+    "Filtered plan lines (`" + "|".join(keep) + "`):\n\n"
+    "```\n" + "\n".join(lines) + "\n```\n\n"
 )
 
 # pipeline.wikify over the datagen fixture (not a registered query):
