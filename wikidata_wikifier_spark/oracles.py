@@ -804,7 +804,7 @@ ORACLES: dict[str, str] = {
     + f""",
     lof_surv AS MATERIALIZED (
         SELECT DISTINCT qnode
-        FROM read_parquet('{ORACLE_CACHE}/lof_survivors/*/*.parquet')
+        FROM read_parquet('{ORACLE_CACHE}/lof_survivors/*/*.parquet', union_by_name=true)
         WHERE n_part = (SELECT count(*) FROM part)
           AND n_li = (SELECT count(*) FROM lineitem)
     ),
@@ -952,7 +952,7 @@ ORACLES: dict[str, str] = {
     + f""",
     mlp AS MATERIALIZED (
         SELECT row, qnode, pred_micro
-        FROM read_parquet('{ORACLE_CACHE}/pseudo_gt_pred/*/*.parquet')
+        FROM read_parquet('{ORACLE_CACHE}/pseudo_gt_pred/*/*.parquet', union_by_name=true)
         WHERE n_part = (SELECT count(*) FROM part)
           AND n_li = (SELECT count(*) FROM lineitem)
     ),
@@ -975,7 +975,7 @@ ORACLES: dict[str, str] = {
         WITH mlp AS MATERIALIZED (
             SELECT row, label_clean, qnode, kg_label, retrieval_score,
                    siamese_prediction
-            FROM read_parquet('{ORACLE_CACHE}/siamese_pred/*/*.parquet')
+            FROM read_parquet('{ORACLE_CACHE}/siamese_pred/*/*.parquet', union_by_name=true)
             WHERE n_part = (SELECT count(*) FROM part)
               AND n_li = (SELECT count(*) FROM lineitem)
         )
