@@ -68,12 +68,32 @@ def probe() -> float:
     )["agg_gb_per_sec"]
 
 
+def ensure_inputs(files: int, map_files: int, entities: int = 200) -> None:
+    """Generate the campaign inputs ONCE at full parallelism before any
+    timed round. scaling.py generates lazily, but map_scaling.py (which
+    runs FIRST in each round) only reads — on a fresh workspace the whole
+    campaign would fail fast on PATH_NOT_FOUND. Generation is untimed and
+    runs at local[32], so it never touches the gated measurements."""
+    sys.path.insert(0, ROOT)
+    sys.path.insert(0, BENCH)  # BENCH/ is not a package
+    from scaling import ensure_data  # noqa: E402
+    from wikidata_wikifier_spark.session import get_spark  # noqa: E402
+
+    spark = get_spark(app_name="gated-ensure-data", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    for n in sorted({files, map_files}):
+        ensure_data(spark, n_repos=6000, n_entities=entities, n_files=n)
+    spark.stop()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rounds", type=int, default=4)
     ap.add_argument("--files", type=int, default=8_000_000)
     ap.add_argument("--map-files", type=int, default=2_000_000)
     args = ap.parse_args()
+
+    ensure_inputs(args.files, args.map_files)
 
     py = sys.executable
     scaling = os.path.join(BENCH, "scaling.py")
