@@ -68,22 +68,34 @@ def probe() -> float:
     )["agg_gb_per_sec"]
 
 
+ENSURE_SNIPPET = """
+import sys
+sys.path.insert(0, {root!r})
+sys.path.insert(0, {bench!r})
+from scaling import ensure_data
+from wikidata_wikifier_spark.session import get_spark
+spark = get_spark(app_name="gated-ensure-data", master="local[32]")
+spark.sparkContext.setLogLevel("ERROR")
+for n in {sizes!r}:
+    ensure_data(spark, n_repos=6000, n_entities={entities}, n_files=n)
+"""
+
+
 def ensure_inputs(files: int, map_files: int, entities: int = 200) -> None:
     """Generate the campaign inputs ONCE at full parallelism before any
     timed round. scaling.py generates lazily, but map_scaling.py (which
     runs FIRST in each round) only reads — on a fresh workspace the whole
-    campaign would fail fast on PATH_NOT_FOUND. Generation is untimed and
-    runs at local[32], so it never touches the gated measurements."""
-    sys.path.insert(0, ROOT)
-    sys.path.insert(0, BENCH)  # BENCH/ is not a package
-    from scaling import ensure_data  # noqa: E402
-    from wikidata_wikifier_spark.session import get_spark  # noqa: E402
-
-    spark = get_spark(app_name="gated-ensure-data", master="local[32]")
-    spark.sparkContext.setLogLevel("ERROR")
-    for n in sorted({files, map_files}):
-        ensure_data(spark, n_repos=6000, n_entities=entities, n_files=n)
-    spark.stop()
+    campaign would fail fast on PATH_NOT_FOUND. Generation runs in a
+    SUBPROCESS: PySpark's gateway JVM outlives spark.stop(), and an idle
+    multi-GB generation JVM parked inside the campaign process for the
+    entire gated window would shift every timed round's memory picture."""
+    snippet = ENSURE_SNIPPET.format(
+        root=ROOT, bench=BENCH, sizes=sorted({files, map_files}),
+        entities=entities,
+    )
+    r = subprocess.run([sys.executable, "-c", snippet], cwd=ROOT)
+    if r.returncode != 0:
+        raise RuntimeError("campaign input generation failed")
 
 
 def main() -> None:
