@@ -34,3 +34,82 @@ def norm(a: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     denom = norm(a) * norm(b)
     return F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom)
+
+
+# --------------------------------------------------------------------------
+# Codegen-friendly fixed-dimension variants.
+#
+# F.aggregate / F.zip_with are CodegenFallback expressions: every array
+# element pays an interpreted lambda dispatch, so a pairwise cosine over an
+# N×Q cross join costs N·Q·dim·3 interpreted evals — the measured #1 cost of
+# ann_cosine_topk (112s of the 152s sf1.0 headline, guide §1.2 step 1 /
+# §4.1 "prefer built-ins"). When every vector has one known dimension, the
+# same fold unrolls into a left-deep Add chain of getItem terms that
+# whole-stage codegen compiles to straight-line JVM arithmetic.
+#
+# Bit-exactness: aggregate(zip_with(a,b,x*y), 0.0, acc+v) evaluates
+# ((0.0 + a0·b0) + a1·b1) + … left-to-right in doubles; the unrolled chain
+# below reproduces the identical association and operand order, so results
+# are IEEE-754 identical, not merely close. Null arrays yield null through
+# both forms (null getItem terms null the whole accumulation, exactly as
+# the fold over a null array is null).
+#
+# CALLER CONTRACT: pass `dim` only when every non-null vector in the data
+# has exactly that size (queries.embeddings_dim sniffs min==max once per
+# session and returns None otherwise — None keeps the original interpreted
+# expressions). The fast forms are emitted WITHOUT a per-row size guard: a
+# first version guarded each row with when(size==dim, fast).otherwise(slow),
+# which doubled every expression tree with an interpreted fallback branch
+# and made per-run planning+codegen slower than the actual compute (bench
+# rebuilds the DataFrame each run). Under ANSI a contract violation fails
+# loudly (array index OOB) rather than returning wrong results.
+# --------------------------------------------------------------------------
+
+UNROLL_MAX_DIM = 512  # beyond this the generated method gets unwieldy
+
+
+def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Bit-exact unrolled `dot` for size-`dim` arrays (see module note)."""
+    acc: Column = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + a.getItem(i).cast("double") * b.getItem(i).cast("double")
+    return acc
+
+
+def norm_unrolled(a: Column, dim: int) -> Column:
+    """Bit-exact unrolled `norm` for size-`dim` arrays."""
+    acc: Column = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + a.getItem(i).cast("double") * a.getItem(i).cast("double")
+    return F.sqrt(acc)
+
+
+def norm_fixed(a: Column, dim: int | None) -> Column:
+    """`norm` specialised to a uniform dimension (see CALLER CONTRACT);
+    dim=None returns the original interpreted fold unchanged."""
+    if not dim or dim > UNROLL_MAX_DIM:
+        return norm(a)
+    return norm_unrolled(a, dim)
+
+
+def cosine_fixed(
+    a: Column,
+    b: Column,
+    dim: int | None,
+    na: Column | None = None,
+    nb: Column | None = None,
+) -> Column:
+    """`cosine` specialised to a uniform dimension, bit-equal to cosine()
+    on conforming data (see CALLER CONTRACT above).
+
+    na/nb: optionally precomputed norm_fixed(a|b, dim) columns — lets a
+    join precompute each side's norm once per ROW instead of once per
+    PAIR (guide §2.3: don't recompute what a narrower input carries).
+    Pass dim=None (e.g. when the corpus has mixed dims) to get the
+    original expression unchanged."""
+    if not dim or dim > UNROLL_MAX_DIM:
+        return cosine(a, b)
+    na = na if na is not None else norm_fixed(a, dim)
+    nb = nb if nb is not None else norm_fixed(b, dim)
+    denom = na * nb
+    return F.when(denom == 0, F.lit(0.0)).otherwise(dot_unrolled(a, b, dim) / denom)

@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import affine_hash_family, char_ngrams, md5_long
-from ..functions.vectors import cosine
+from ..functions.vectors import UNROLL_MAX_DIM, cosine, cosine_fixed, norm_fixed
 from ..plans.skew import size_aware_broadcast
 
 MINHASH_K = 16
@@ -287,6 +287,7 @@ def embedding_cosine_pairs(
     block_col: str = "label",
     threshold: float = COSINE_DUP_MIN,
     block_cap: int = COSINE_BLOCK_CAP,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by cosine ≥ threshold, blocked by the coarse cluster
     label (IVF-style: only same-cell comparisons), with HOT-BLOCK SAFETY:
@@ -301,8 +302,11 @@ def embedding_cosine_pairs(
     8. Mirrored exactly in the DuckDB oracle."""
     from .similarity import lsh_bucket_gated
 
-    v = embs.select(
-        F.col(id_col).alias("id"), F.col(block_col).alias("blk"), F.col(vec_col).alias("v")
+    v = _spread(
+        embs.select(
+            F.col(id_col).alias("id"), F.col(block_col).alias("blk"), F.col(vec_col).alias("v")
+        ),
+        "id",
     )
     sizes = v.groupBy("blk").agg(F.count("*").alias("_bn"))
     depth = F.when(F.col("_bn") <= block_cap, F.lit(0))
@@ -310,14 +314,28 @@ def embedding_cosine_pairs(
         depth = depth.when(F.col("_bn") <= block_cap * (2 ** d), F.lit(d))
     depth = depth.otherwise(F.lit(COSINE_MAX_PLANES))
     v = v.join(F.broadcast(sizes), "blk").withColumn(
-        "sub", lsh_bucket_gated(F.col("v"), depth, COSINE_MAX_PLANES)
+        "sub", lsh_bucket_gated(F.col("v"), depth, COSINE_MAX_PLANES, dim=dim)
     )
-    a = v.select(F.col("id").alias("a"), "blk", "sub", F.col("v").alias("va"))
-    b = v.select(F.col("id").alias("b"), "blk", "sub", F.col("v").alias("vb"))
+    # per-row norms computed ONCE before the self-join (per pair they were
+    # recomputed twice); unrolled codegen'd cosine when dim is known —
+    # bit-equal either way (functions/vectors.py)
+    if dim and dim <= UNROLL_MAX_DIM:
+        v = v.withColumn("_n", norm_fixed(F.col("v"), dim))
+        cos = cosine_fixed(
+            F.col("va"), F.col("vb"), dim, na=F.col("_na"), nb=F.col("_nb")
+        )
+        a = v.select(F.col("id").alias("a"), "blk", "sub",
+                     F.col("v").alias("va"), F.col("_n").alias("_na"))
+        b = v.select(F.col("id").alias("b"), "blk", "sub",
+                     F.col("v").alias("vb"), F.col("_n").alias("_nb"))
+    else:
+        cos = cosine(F.col("va"), F.col("vb"))
+        a = v.select(F.col("id").alias("a"), "blk", "sub", F.col("v").alias("va"))
+        b = v.select(F.col("id").alias("b"), "blk", "sub", F.col("v").alias("vb"))
     return (
         a.join(b, ["blk", "sub"])
         .where(F.col("a") < F.col("b"))
-        .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn("cosine", F.round(cos, 6))
         .where(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )

@@ -2,9 +2,19 @@
 cosine top-k as the exactness baseline, and a bucketed LSH variant as the
 scale path.
 
-Both are pure native column expressions (F.aggregate dot products), fully
-oracle-checkable. The LSH hyperplanes are exact-integer grids so the
-bucket assignment is bit-reproducible in ANSI SQL (no RNG, no libm).
+Both are pure native column expressions, fully oracle-checkable. The LSH
+hyperplanes are exact-integer grids so the bucket assignment is
+bit-reproducible in ANSI SQL (no RNG, no libm).
+
+Perf note (r06): the original per-pair cosine / per-plane dot used
+F.aggregate + F.zip_with, which are CodegenFallback — every array element
+costs an interpreted lambda dispatch, and the pairwise cross join made
+that N·Q·dim·3 dispatches (measured 112s of the 152s sf1.0 headline).
+When the caller knows the uniform embedding dimension it passes `dim` and
+the dot products unroll into whole-stage-codegen'd arithmetic that is
+IEEE-bit-identical to the fold (functions/vectors.py); per-side norms are
+computed once per row instead of once per pair. dim=None keeps the
+original expressions — results are identical either way.
 
 Scale notes: brute-force is queries × corpus — fine when the query set is
 small (it broadcasts); the LSH variant buckets the corpus once (one
@@ -18,9 +28,21 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine
+from ..functions.vectors import UNROLL_MAX_DIM, cosine, cosine_fixed, norm_fixed
 
 N_PLANES = 8
+
+
+def _spread(df: DataFrame, col: str) -> DataFrame:
+    """Hash-repartition before per-row-heavy pair compute (same rationale
+    as dedup._spread): a few-MB parquet corpus arrives as 1-2 scan
+    partitions, which serializes the N·Q cosine work onto 1-2 cores —
+    measured as the dominant cost of ann_cosine_topk at sf1.0 (112s on 2
+    tasks). An explicit scale-adaptive width (2× defaultParallelism,
+    deterministic hash on the id column — never round-robin) survives AQE
+    coalescing and costs one narrow shuffle of the corpus ids+vectors."""
+    n = max(df.sparkSession.sparkContext.defaultParallelism * 2, 16)
+    return df.repartition(n, F.col(col))
 
 
 def brute_force_topk(
@@ -29,15 +51,31 @@ def brute_force_topk(
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """For each query vector: top-k corpus neighbors by cosine (excluding
-    self), deterministic tie-break on neighbor id."""
+    self), deterministic tie-break on neighbor id.
+
+    dim: uniform embedding dimension when known — enables the unrolled
+    codegen'd cosine with per-row (not per-pair) norms; output identical.
+    """
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
-    c = embs.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("nv"))
+    c = _spread(embs.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("nv")), "n_id")
+    if dim and dim <= UNROLL_MAX_DIM:
+        q = q.withColumn("_qn", norm_fixed(F.col("qv"), dim))
+        c = c.withColumn("_nn", norm_fixed(F.col("nv"), dim))
+        cos = cosine_fixed(
+            F.col("qv"), F.col("nv"), dim, na=F.col("_qn"), nb=F.col("_nn")
+        )
+    else:
+        cos = cosine(F.col("qv"), F.col("nv"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("q_id") != F.col("n_id"))
-        .withColumn("cosine", F.round(cosine(F.col("qv"), F.col("nv")), 6))
+        .withColumn("cosine", F.round(cos, 6))
+        # project BEFORE the window exchange: the embedding arrays must not
+        # ride the shuffle (guide §2.3)
+        .select("q_id", "n_id", "cosine")
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
     return (
@@ -53,43 +91,68 @@ def _plane_weight(p: int, d: Column) -> Column:
     return ((F.lit(p * 31) + d * 17) % 13 - 6).cast("double")
 
 
-def lsh_bucket(vec: Column, n_planes: int = N_PLANES) -> Column:
-    """Random-hyperplane signature: bit p = sign(plane_p · v)."""
+def _plane_weight_const(p: int, d: int) -> float:
+    """_plane_weight evaluated at a literal d — same exact integer math
+    (operands are non-negative, so Python % and Spark % agree)."""
+    return float((p * 31 + d * 17) % 13 - 6)
+
+
+def _plane_dot(vec: Column, p: int) -> Column:
+    """Interpreted plane-p dot (the original fold)."""
+    return F.aggregate(
+        F.zip_with(
+            vec,
+            F.sequence(F.lit(0), F.size(vec) - 1),
+            lambda x, i: x.cast("double") * _plane_weight(p, i),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _plane_dot_unrolled(vec: Column, p: int, dim: int) -> Column:
+    """Codegen'd plane-p dot for size-`dim` vectors — bit-equal to
+    _plane_dot: same left-to-right double accumulation from 0.0, same
+    x·w operand order, weights folded to the identical double constants."""
+    acc: Column = F.lit(0.0)
+    for d in range(dim):
+        acc = acc + vec.getItem(d).cast("double") * F.lit(_plane_weight_const(p, d))
+    return acc
+
+
+def lsh_bucket(vec: Column, n_planes: int = N_PLANES, dim: int | None = None) -> Column:
+    """Random-hyperplane signature: bit p = sign(plane_p · v).
+
+    dim: uniform vector dimension when known (same caller contract as
+    vectors.cosine_fixed) — plane dots unroll to codegen'd arithmetic,
+    bit-equal to the fold (null vectors null every dot, so every plane
+    contributes 0 and the bucket is 0 in both forms)."""
+    unroll = bool(dim) and dim <= UNROLL_MAX_DIM
     bucket: Column = F.lit(0).cast("long")
     for p in range(n_planes):
-        dot = F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.size(vec) - 1),
-                lambda x, i: x.cast("double") * _plane_weight(p, i),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.when(F.round(dot, 6) >= 0, F.lit(2 ** p).cast("long")).otherwise(0)
+        d = _plane_dot_unrolled(vec, p, dim) if unroll else _plane_dot(vec, p)
+        bucket = bucket + F.when(
+            F.round(d, 6) >= 0, F.lit(2 ** p).cast("long")
+        ).otherwise(0)
     return bucket
 
 
-def lsh_bucket_gated(vec: Column, depth: Column, max_planes: int) -> Column:
+def lsh_bucket_gated(
+    vec: Column, depth: Column, max_planes: int, dim: int | None = None
+) -> Column:
     """Hyperplane signature whose WIDTH is data-dependent: only the first
     `depth` plane bits contribute (plane p gated on p < depth). Lets a
     per-group bucketing depth adapt to the group's size — depth 0 puts
     everything in bucket 0 — while staying one static codegen'd
-    expression (no per-group expression rebuild, no extra jobs)."""
-    def _mk(pp: int):
-        # zip_with requires an exactly-2-arg lambda; bind the plane index
-        # via closure, not a default arg
-        return lambda x, i: x.cast("double") * _plane_weight(pp, i)
-
+    expression (no per-group expression rebuild, no extra jobs).
+    dim: as in lsh_bucket."""
+    unroll = bool(dim) and dim <= UNROLL_MAX_DIM
     bucket: Column = F.lit(0).cast("long")
     for p in range(max_planes):
-        dot = F.aggregate(
-            F.zip_with(vec, F.sequence(F.lit(0), F.size(vec) - 1), _mk(p)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+        d = _plane_dot_unrolled(vec, p, dim) if unroll else _plane_dot(vec, p)
         bucket = bucket + F.when(
-            (F.lit(p) < depth) & (F.round(dot, 6) >= 0), F.lit(2 ** p).cast("long")
+            (F.lit(p) < depth) & (F.round(d, 6) >= 0),
+            F.lit(2 ** p).cast("long"),
         ).otherwise(0)
     return bucket
 
@@ -124,6 +187,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     probe_radius: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: corpus bucketed by hyperplane signature; each
     query scans its own bucket plus (multi-probe, default radius 1) the
@@ -134,22 +198,35 @@ def lsh_topk(
     Recall < 1 remains possible by construction (that's the
     approximation); the oracle reproduces the same probe set exactly.
     probe_radius=0 restores single-probe behavior."""
-    c = embs.select(
-        F.col(id_col).alias("n_id"),
-        F.col(vec_col).alias("nv"),
-        lsh_bucket(F.col(vec_col)).alias("bucket"),
-    )
+    c = _spread(
+        embs.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("nv")), "n_id"
+    ).withColumn("bucket", lsh_bucket(F.col("nv"), dim=dim))
+    # materialize the query signature as a COLUMN first: probe_buckets
+    # references its bucket argument n_planes+1 times, and inlining the
+    # full signature expression there replicates the whole plane-dot tree
+    # 9× (slow to compile AND to run); over a column it is computed once
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("qv"),
-        F.explode(
-            probe_buckets(lsh_bucket(F.col(vec_col)), radius=probe_radius)
-        ).alias("bucket"),
+        lsh_bucket(F.col(vec_col), dim=dim).alias("_sig"),
+    ).select(
+        "q_id",
+        "qv",
+        F.explode(probe_buckets(F.col("_sig"), radius=probe_radius)).alias("bucket"),
     )
+    if dim and dim <= UNROLL_MAX_DIM:
+        c = c.withColumn("_nn", norm_fixed(F.col("nv"), dim))
+        q = q.withColumn("_qn", norm_fixed(F.col("qv"), dim))
+        cos = cosine_fixed(
+            F.col("qv"), F.col("nv"), dim, na=F.col("_qn"), nb=F.col("_nn")
+        )
+    else:
+        cos = cosine(F.col("qv"), F.col("nv"))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .where(F.col("q_id") != F.col("n_id"))
-        .withColumn("cosine", F.round(cosine(F.col("qv"), F.col("nv")), 6))
+        .withColumn("cosine", F.round(cos, 6))
+        .select("q_id", "n_id", "cosine")
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
     return (

@@ -773,25 +773,59 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import embedding_cosine_pairs
 
-    return embedding_cosine_pairs(load_table(spark, sf_dir, "embeddings"))
+    return embedding_cosine_pairs(
+        load_table(spark, sf_dir, "embeddings"), dim=embeddings_dim(spark, sf_dir)
+    )
 
 
 def _ann_queries(embs: DataFrame) -> DataFrame:
     return embs.where(F.col("vec_id") % 100 == 0)
 
 
+# Uniform embedding dimension of the embeddings table, sniffed ONCE per
+# (session, sf_dir) — one min/max-of-size aggregate over a single parquet
+# column (same discipline as index_rows above). Powers the unrolled
+# codegen'd cosine (functions/vectors.py): a dim hint only ever changes
+# the plan, never the result, and a mixed-dim table yields None → the
+# original interpreted expressions. On a real deployment the dim is a
+# schema-level constant; the sniff stands in for that metadata.
+_EMB_DIM_CACHE: dict[tuple[str, str], int | None] = {}
+
+
+def embeddings_dim(spark: SparkSession, sf_dir: str) -> int | None:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EMB_DIM_CACHE:
+        r = (
+            load_table(spark, sf_dir, "embeddings")
+            .select(
+                F.min(F.size("embedding")).alias("mn"),
+                F.max(F.size("embedding")).alias("mx"),
+            )
+            .first()
+        )
+        _EMB_DIM_CACHE[key] = (
+            int(r["mx"]) if r["mn"] is not None and r["mn"] == r["mx"] and r["mx"] > 0
+            else None
+        )
+    return _EMB_DIM_CACHE[key]
+
+
 def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import brute_force_topk
 
     embs = load_table(spark, sf_dir, "embeddings")
-    return brute_force_topk(embs, _ann_queries(embs), k=5)
+    return brute_force_topk(
+        embs, _ann_queries(embs), k=5, dim=embeddings_dim(spark, sf_dir)
+    )
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import lsh_topk
 
     embs = load_table(spark, sf_dir, "embeddings")
-    return lsh_topk(embs, _ann_queries(embs), k=5)
+    return lsh_topk(
+        embs, _ann_queries(embs), k=5, dim=embeddings_dim(spark, sf_dir)
+    )
 
 
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
