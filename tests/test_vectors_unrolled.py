@@ -112,3 +112,59 @@ def test_sniff_returns_none_on_mixed_dims(spark, tmp_path):
         "vec_id long, embedding array<double>",
     ).write.parquet(uniform + "/embeddings.parquet")
     assert embeddings_dim(spark, uniform) == 3
+
+
+def test_distinct_shingles3_matches_native(spark):
+    """The Arrow-batch shingle builder must equal
+    array_distinct(word_shingles(·)) element-for-element (incl. order) on
+    real docs and on the edge cases (null text, empty, < 3 tokens)."""
+    from wikidata_wikifier_spark.operators.dedup import (
+        distinct_shingles3,
+        word_shingles,
+        word_tokens,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    edges = spark.createDataFrame(
+        [
+            (900001, None),
+            (900002, ""),
+            (900003, "one two"),
+            (900004, "  Exactly   Three  tokens "),
+            (900005, "a b c a b c a b c"),
+        ],
+        "doc_id long, text string",
+    )
+    df = docs.unionByName(edges)
+    out = df.select(
+        F.array_distinct(word_shingles(F.col("text"))).alias("native"),
+        distinct_shingles3(word_tokens(F.col("text"))).alias("arrow"),
+    ).collect()
+    for r in out:
+        assert r["native"] == r["arrow"]
+
+
+def test_plane_dots_fold_matches_gated_bucket(spark):
+    """Staged fold + gated assembly must equal lsh_bucket_gated (the
+    original 12 separate folds) for every depth, incl. null vectors."""
+    from wikidata_wikifier_spark.operators.similarity import (
+        bucket_from_dots,
+        lsh_bucket_gated,
+        plane_dots_fold,
+    )
+
+    df = _edge_vectors(spark).crossJoin(
+        spark.createDataFrame([(0,), (3,), (7,), (12,)], "depth int")
+    )
+    out = (
+        df.withColumn("_pd", plane_dots_fold(F.col("v"), 12))
+        .select(
+            "id",
+            "depth",
+            lsh_bucket_gated(F.col("v"), F.col("depth"), 12).alias("orig"),
+            bucket_from_dots(F.col("_pd"), 12, F.col("depth")).alias("staged"),
+        )
+        .collect()
+    )
+    for r in out:
+        assert r["orig"] == r["staged"], (r["id"], r["depth"])

@@ -65,7 +65,12 @@ def cosine(a: Column, b: Column) -> Column:
 # loudly (array index OOB) rather than returning wrong results.
 # --------------------------------------------------------------------------
 
-UNROLL_MAX_DIM = 512  # beyond this the generated method gets unwieldy
+# Beyond this the single generated method risks Janino's hard 64KB JVM
+# method-size limit (a 64-term chain is ~10KB of bytecode; ~256 terms
+# stays safely under with headroom for the surrounding operator code) —
+# past it, keep the interpreted fold rather than risk a codegen fallback
+# of the whole stage.
+UNROLL_MAX_DIM = 256
 
 
 def dot_unrolled(a: Column, b: Column, dim: int) -> Column:

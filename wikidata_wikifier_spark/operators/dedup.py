@@ -76,6 +76,40 @@ def word_shingles(col: Column, w: int = 3) -> Column:
     )
 
 
+def distinct_shingles3(tok_col: Column) -> Column:
+    """array_distinct(word_shingles(·, w=3)) over a PRE-TOKENIZED array,
+    as one vectorized Arrow batch op.
+
+    The native form pays an interpreted lambda dispatch plus 3 element_at
+    evals PER SHINGLE (transform/element_at are CodegenFallback) —
+    measured 4.4s of the 4.7s shingle pass at sf1.0, while tokenization
+    itself (split, codegen'd) is 0.3s. Joining 3 tokens with a space and
+    first-occurrence-deduping is pure byte manipulation, identical in
+    Python and the JVM for any UTF-8 content (no locale/regex semantics
+    involved — those stay in the native word_tokens), so the batch UDF is
+    byte-exact to the native form incl. element order:
+      null tokens (null text)  → null, like transform over null
+      len < 3                  → [], like the when() empty branch
+      dict.fromkeys            → array_distinct's first-occurrence dedup
+    Only the token column crosses the Python boundary (guide §4.1)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    @pandas_udf(ArrayType(StringType()))
+    def _sh3(toks):  # type: ignore[no-untyped-def]
+        def mk(t):
+            if t is None:
+                return None
+            n = len(t) - 2
+            if n <= 0:
+                return []
+            return list(dict.fromkeys(" ".join(t[i : i + 3]) for i in range(n)))
+
+        return toks.apply(mk)
+
+    return _sh3(tok_col)
+
+
 # ----------------------------------------------------------------- exact
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -118,8 +152,30 @@ def minhash_lsh_pairs(
     band hash = md5-long of the band's 4 signature values → self-join on
     (band, band_hash) → distinct candidate pairs → verify true shingle
     Jaccard ≥ 0.7. Output (a, b, jaccard) with a < b.
+
+    Perf (r06): the distinct-shingle-set table is computed ONCE and
+    localCheckpoint'ed — the signature branch and the verify branch both
+    read it. The previous plan evaluated the (interpreted higher-order)
+    shingle transform twice, once per branch — measured ~4.8s per pass of
+    the 15s total at sf1.0. Signatures derived from the checkpointed
+    distinct sets are identical: minhash mins are order-insensitive and
+    the explode input was already array_distinct'ed. On a cluster the
+    checkpoint becomes a real checkpoint to reliable storage (same seam
+    as plans/checkpoint.py).
     """
-    sig = minhash_signatures(docs, text_col, id_col)
+    sets = (
+        _spread(docs, id_col)
+        .select(F.col(id_col).alias("id"), word_tokens(F.col(text_col)).alias("t"))
+        .select("id", distinct_shingles3(F.col("t")).alias("g"))
+        .withColumn("n", F.size("g"))
+        .localCheckpoint()
+    )
+    sh = sets.select("id", F.explode("g").alias("s"))
+    aggs = [
+        F.min(affine_hash_family(F.col("s"), i)).alias(f"h{i}")
+        for i in range(MINHASH_K)
+    ]
+    sig = sh.groupBy("id").agg(*aggs)
     rows_per_band = MINHASH_K // MINHASH_BANDS
     bands = []
     for b in range(MINHASH_BANDS):
@@ -131,11 +187,11 @@ def minhash_lsh_pairs(
             )
         )
     banded = sig.select(
-        id_col, F.explode(F.array(*bands)).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+        "id", F.explode(F.array(*bands)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
 
-    left = banded.select(F.col(id_col).alias("a"), "band", "bh")
-    right = banded.select(F.col(id_col).alias("b"), "band", "bh")
+    left = banded.select(F.col("id").alias("a"), "band", "bh")
+    right = banded.select(F.col("id").alias("b"), "band", "bh")
     cand = (
         left.join(right, ["band", "bh"])
         .where(F.col("a") < F.col("b"))
@@ -143,10 +199,6 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sets = _spread(docs, id_col).select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(word_shingles(F.col(text_col))).alias("g"),
-    ).withColumn("n", F.size("g"))
     sa = sets.select(F.col("id").alias("a"), F.col("g").alias("ga"), F.col("n").alias("na"))
     sb = sets.select(F.col("id").alias("b"), F.col("g").alias("gb"), F.col("n").alias("nb"))
     return (
@@ -300,7 +352,7 @@ def embedding_cosine_pairs(
     threshold chain, engine-exact — no float log2 at the boundary), so a
     million-vector hot block gets 2^ceil(log2(B/cap)) buckets, not a fixed
     8. Mirrored exactly in the DuckDB oracle."""
-    from .similarity import lsh_bucket_gated
+    from .similarity import bucket_from_dots, plane_dots_fold
 
     v = _spread(
         embs.select(
@@ -313,8 +365,16 @@ def embedding_cosine_pairs(
     for d in range(1, COSINE_MAX_PLANES):
         depth = depth.when(F.col("_bn") <= block_cap * (2 ** d), F.lit(d))
     depth = depth.otherwise(F.lit(COSINE_MAX_PLANES))
-    v = v.join(F.broadcast(sizes), "blk").withColumn(
-        "sub", lsh_bucket_gated(F.col("v"), depth, COSINE_MAX_PLANES, dim=dim)
+    # 12-plane signature: plane dots in ONE staged fold pass (bit-equal
+    # to the former lsh_bucket_gated's 12 separate folds — similarity.py
+    # plane_dots_fold), assembled with the depth gate from the struct
+    # column. A fully-unrolled 12×dim chain overflows the 64KB generated-
+    # method cap at dim 64, so the fold is the scalable form here.
+    v = (
+        v.join(F.broadcast(sizes), "blk")
+        .withColumn("_pd", plane_dots_fold(F.col("v"), COSINE_MAX_PLANES))
+        .withColumn("sub", bucket_from_dots(F.col("_pd"), COSINE_MAX_PLANES, depth))
+        .drop("_pd")
     )
     # per-row norms computed ONCE before the self-join (per pair they were
     # recomputed twice); unrolled codegen'd cosine when dim is known —

@@ -120,14 +120,71 @@ def _plane_dot_unrolled(vec: Column, p: int, dim: int) -> Column:
     return acc
 
 
+# A single generated JVM method hard-caps at 64KB (Janino refuses larger;
+# Spark then abandons whole-stage codegen for the span). One 64-term dot
+# chain is ~10KB of source; a full unrolled 8-plane signature (512 terms)
+# compiles when it is the only heavy expression in its codegen span but
+# overflows when it shares a span with the pair join + cosine — which is
+# why lsh_topk computes the bucket BEFORE the _spread exchange (the
+# exchange is the codegen-span boundary). Budget for a fully-unrolled
+# signature; anything larger takes the single-pass fold below.
+UNROLL_BUCKET_MAX_TERMS = 512
+
+
+def plane_dots_fold(vec: Column, n_planes: int) -> Column:
+    """All n_planes hyperplane dots in ONE interpreted pass — a struct
+    accumulator carrying every plane's running sum, vs the original
+    n_planes separate zip_with+aggregate folds (n_planes lambda
+    dispatches per element). Per plane the accumulation order is the
+    identical ((0.0 + t0) + t1) + … left fold, so each dot is IEEE-bit-
+    equal to _plane_dot; null vectors fold to a null struct exactly as
+    each per-plane fold is null. Returns struct<d0..d{n-1}>."""
+    zipped = F.zip_with(
+        vec,
+        F.sequence(F.lit(0), F.size(vec) - 1),
+        lambda x, i: F.struct(x.cast("double").alias("x"), i.alias("i")),
+    )
+    init = F.struct(*[F.lit(0.0).alias(f"d{p}") for p in range(n_planes)])
+    return F.aggregate(
+        zipped,
+        init,
+        lambda acc, e: F.struct(
+            *[
+                (acc[f"d{p}"] + e["x"] * _plane_weight(p, e["i"])).alias(f"d{p}")
+                for p in range(n_planes)
+            ]
+        ),
+    )
+
+
+def bucket_from_dots(dots: Column, n_planes: int, depth: Column | None = None) -> Column:
+    """Signature bits from a plane_dots_fold struct — same round/sign and
+    bit assembly as lsh_bucket / lsh_bucket_gated (depth gates plane p on
+    p < depth when given). Null dots (null vector) contribute 0 per
+    plane, matching the fold forms. Stage the dots struct as a COLUMN
+    before calling this (it is referenced once per plane; as a column the
+    fold runs once and CollapseProject keeps the stages separate because
+    a non-trivial producer referenced n_planes times is never inlined)."""
+    bucket: Column = F.lit(0).cast("long")
+    for p in range(n_planes):
+        cond = F.round(dots[f"d{p}"], 6) >= 0
+        if depth is not None:
+            cond = (F.lit(p) < depth) & cond
+        bucket = bucket + F.when(cond, F.lit(2 ** p).cast("long")).otherwise(0)
+    return bucket
+
+
 def lsh_bucket(vec: Column, n_planes: int = N_PLANES, dim: int | None = None) -> Column:
     """Random-hyperplane signature: bit p = sign(plane_p · v).
 
     dim: uniform vector dimension when known (same caller contract as
     vectors.cosine_fixed) — plane dots unroll to codegen'd arithmetic,
     bit-equal to the fold (null vectors null every dot, so every plane
-    contributes 0 and the bucket is 0 in both forms)."""
-    unroll = bool(dim) and dim <= UNROLL_MAX_DIM
+    contributes 0 and the bucket is 0 in both forms). Oversized
+    signatures (n_planes·dim beyond the codegen budget) fall back to the
+    interpreted per-plane fold; DataFrame-level callers should stage
+    plane_dots_fold + bucket_from_dots instead."""
+    unroll = bool(dim) and n_planes * dim <= UNROLL_BUCKET_MAX_TERMS
     bucket: Column = F.lit(0).cast("long")
     for p in range(n_planes):
         d = _plane_dot_unrolled(vec, p, dim) if unroll else _plane_dot(vec, p)
@@ -146,7 +203,7 @@ def lsh_bucket_gated(
     everything in bucket 0 — while staying one static codegen'd
     expression (no per-group expression rebuild, no extra jobs).
     dim: as in lsh_bucket."""
-    unroll = bool(dim) and dim <= UNROLL_MAX_DIM
+    unroll = bool(dim) and max_planes * dim <= UNROLL_BUCKET_MAX_TERMS
     bucket: Column = F.lit(0).cast("long")
     for p in range(max_planes):
         d = _plane_dot_unrolled(vec, p, dim) if unroll else _plane_dot(vec, p)
@@ -198,9 +255,19 @@ def lsh_topk(
     Recall < 1 remains possible by construction (that's the
     approximation); the oracle reproduces the same probe set exactly.
     probe_radius=0 restores single-probe behavior."""
+    # bucket computed BEFORE the _spread exchange: the exchange is a
+    # codegen-span boundary, so the 512-term unrolled signature compiles
+    # in the scan span while the join+cosine span stays small (sharing
+    # one span overflowed the 64KB generated-method limit and dropped the
+    # whole stage out of codegen)
     c = _spread(
-        embs.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("nv")), "n_id"
-    ).withColumn("bucket", lsh_bucket(F.col("nv"), dim=dim))
+        embs.select(
+            F.col(id_col).alias("n_id"),
+            F.col(vec_col).alias("nv"),
+            lsh_bucket(F.col(vec_col), dim=dim).alias("bucket"),
+        ),
+        "n_id",
+    )
     # materialize the query signature as a COLUMN first: probe_buckets
     # references its bucket argument n_planes+1 times, and inlining the
     # full signature expression there replicates the whole plane-dot tree

@@ -52,6 +52,17 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # HotSpot refuses to JIT-compile methods over ~8KB of bytecode
+        # (DontCompileHugeMethods, on by default) and runs them in the
+        # bytecode interpreter FOREVER. Whole-stage codegen for wide
+        # expressions — the unrolled 64-dim cosine chains, the 60-bit
+        # simhash signature sum — lands exactly there: measured 14s/run
+        # interpreted vs 0.5s JIT-compiled for the ann pair stage at
+        # sf1.0. Generated code is hot by construction, so compiling huge
+        # methods is the right trade on any deployment; both driver and
+        # executor flavors so a real cluster behaves like local mode.
+        .config("spark.driver.extraJavaOptions", "-XX:-DontCompileHugeMethods")
+        .config("spark.executor.extraJavaOptions", "-XX:-DontCompileHugeMethods")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
