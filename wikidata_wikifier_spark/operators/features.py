@@ -457,6 +457,24 @@ def semantic_tfidf_map_multi(
 
     dims: list of (key_dim(qnode, key), out_col).
     """
+    scores = tfidf_scores_table(
+        cands, dims, anchor_col, weight_col=weight_col, dim_rows=dim_rows
+    )
+    joined = cands.join(size_aware_broadcast(scores, dim_rows), "qnode", "left")
+    return joined.na.fill({out: 0.0 for _kd, out in dims})
+
+
+def tfidf_scores_table(
+    cands: DataFrame,
+    dims: list[tuple[DataFrame, str]],
+    anchor_col: str,
+    weight_col: str | None = None,
+    dim_rows: int | None = None,
+) -> DataFrame:
+    """The per-qnode (qnode, out...) score table of
+    semantic_tfidf_map_multi WITHOUT the join-back — needs only (qnode,
+    anchor_col [, weight]) from cands, so callers holding the wide table
+    can feed a narrow projection (see centroid_scores_table)."""
     tagged = None
     for i, (kd, _out) in enumerate(dims):
         t = kd.select(F.lit(i).alias("fam"), "qnode", "key")
@@ -495,7 +513,7 @@ def semantic_tfidf_map_multi(
     w_out = F.when(F.col("_maxs") == 0, F.lit(0.0)).otherwise(
         F.round(F.col("_s") / F.col("_maxs"), 6)
     )
-    scores = (
+    return (
         s_q.join(F.broadcast(max_s), "fam")
         .groupBy("qnode")
         .agg(
@@ -505,8 +523,6 @@ def semantic_tfidf_map_multi(
             ]
         )
     )
-    joined = cands.join(size_aware_broadcast(scores, dim_rows), "qnode", "left")
-    return joined.na.fill({out: 0.0 for _kd, out in dims})
 
 
 _NUM_RE = r"^-?[0-9]+(\.[0-9]+)?$"
@@ -735,6 +751,31 @@ def embedding_centroid_score(
     embedding array never has to be carried on the candidate table."""
     if emb_dim is None:
         emb_dim = cands.groupBy("qnode").agg(F.first(emb_col).alias(emb_col))
+    scores = centroid_scores_table(
+        cands, emb_dim, anchor_col=anchor_col, emb_col=emb_col, out=out,
+        weight_col=weight_col, dim_rows=dim_rows,
+    )
+    return cands.join(size_aware_broadcast(scores, dim_rows), "qnode", "left").na.fill(
+        {out: 0.0}
+    )
+
+
+def centroid_scores_table(
+    cands: DataFrame,
+    emb_dim: DataFrame,
+    anchor_col: str = "pseudo_gt",
+    emb_col: str = "embedding",
+    out: str = "pgt_centroid_score",
+    weight_col: str | None = None,
+    dim_rows: int | None = None,
+) -> DataFrame:
+    """The (qnode, out) score table of embedding_centroid_score WITHOUT
+    the join-back — every aggregate here needs only (qnode, anchor_col
+    [, weight]), so callers that already hold the wide candidate table
+    can feed a NARROW projection and join the tiny result back once
+    (wikify_end_to_end's per-run tail re-derives pseudo-GT-anchored
+    scores; scanning the 2M-row wide table per aggregate was the
+    measured cost — guide §2.3 project early)."""
     w_expr = F.col(weight_col) if weight_col else F.lit(1)
     anchor_counts = (
         cands.where(F.col(anchor_col) == 1)
@@ -755,7 +796,7 @@ def embedding_centroid_score(
         .join(size_aware_broadcast(emb_dim, dim_rows), "qnode")
         .select("qnode", F.posexplode(emb_col).alias("i", "v"))
     )
-    scores = (
+    return (
         qn.join(F.broadcast(centroid), "i")
         .groupBy("qnode")
         .agg(
@@ -770,9 +811,6 @@ def embedding_centroid_score(
             ),
         )
         .select("qnode", out)
-    )
-    return cands.join(size_aware_broadcast(scores, dim_rows), "qnode", "left").na.fill(
-        {out: 0.0}
     )
 
 

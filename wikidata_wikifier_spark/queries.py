@@ -642,8 +642,21 @@ def q_wikify_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = featured_candidates(spark, sf_dir)
     idx = entity_index(spark, sf_dir)
     idx_rows = index_rows(spark, sf_dir)
-    f = ranker.predict_using_model(
-        f,
+    # r06 tail restructure (guide §2.3 "project early"): every pseudo-GT-
+    # anchored aggregate needs only (qnode, pseudo_gt), so the per-run
+    # re-anchoring runs on a NARROW projection — MLP over the 9 feature
+    # columns, per-run mean threshold, one narrow checkpoint — and the
+    # per-qnode centroid/tf-idf SCORE TABLES are derived from it. The
+    # wide 2M-row table is then assembled exactly ONCE (two qnode-keyed
+    # broadcast joins + final MLP + handoff write). The previous shape
+    # materialized the wide table twice (two localCheckpoints) and
+    # re-scanned it per aggregate — the measured bulk of the 13.5s/run
+    # sf1.0 tail. Anchored values and join-backs are expression-identical
+    # (centroid_scores_table / tfidf_scores_table are the factored-out
+    # bodies of the original operators).
+    nf = f.select("row", "qnode", *ranker.PSEUDO_GT_FEATURES)
+    nf = ranker.predict_using_model(
+        nf,
         ranker.PSEUDO_GT_FEATURES,
         ranker.pseudo_gt_weights(),
         ranker.PSEUDO_GT_DATA_MIN,
@@ -651,19 +664,15 @@ def q_wikify_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pseudo_gt_prediction",
     )
     # reference-true anchoring: rebuild the pseudo-GT-downstream features
-    # from the MLP prediction threshold
-    f = f.drop(
-        "pseudo_gt", "pgt_centroid_score",
-        "pgt_class_count_tf_idf_score", "pgt_property_count_tf_idf_score",
+    # from the MLP prediction threshold (row multiplicity preserved — the
+    # anchor aggregates count candidate ROWS per qnode)
+    nf = features.create_pseudo_gt(nf, "pseudo_gt_prediction", "smc_class_score")
+    anchors = nf.select("qnode", "pseudo_gt").localCheckpoint()
+    cent = features.centroid_scores_table(
+        anchors, idx.select("qnode", "embedding"), dim_rows=idx_rows
     )
-    f = features.create_pseudo_gt(f, "pseudo_gt_prediction", "smc_class_score")
-    f = f.localCheckpoint()
-    f = features.embedding_centroid_score(
-        f, emb_dim=idx.select("qnode", "embedding"), dim_rows=idx_rows
-    )
-    f = f.localCheckpoint()
-    f = features.semantic_tfidf_map_multi(
-        f,
+    tfs = features.tfidf_scores_table(
+        anchors,
         [
             (class_key_dim(spark, sf_dir).select("qnode", "key"),
              "pgt_class_count_tf_idf_score"),
@@ -673,8 +682,21 @@ def q_wikify_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pseudo_gt",
         dim_rows=idx_rows,
     )
-    f = ranker.predict_using_model(
-        f,
+    from .plans.skew import size_aware_broadcast
+
+    g = f.drop(
+        "pseudo_gt", "pgt_centroid_score",
+        "pgt_class_count_tf_idf_score", "pgt_property_count_tf_idf_score",
+    )
+    g = g.join(size_aware_broadcast(cent, idx_rows), "qnode", "left").na.fill(
+        {"pgt_centroid_score": 0.0}
+    )
+    g = g.join(size_aware_broadcast(tfs, idx_rows), "qnode", "left").na.fill(
+        {"pgt_class_count_tf_idf_score": 0.0,
+         "pgt_property_count_tf_idf_score": 0.0}
+    )
+    g = ranker.predict_using_model(
+        g,
         ranker.FINAL_FEATURES,
         ranker.final_ranker_weights(),
         ranker.FINAL_DATA_MIN,
@@ -685,7 +707,7 @@ def q_wikify_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rule run off the SAME file in both engines (hash-exact oracle).
     # retrieval_score rides along because it is get_kg_links' tie-break.
     path, fp_cols = _handoff(spark, sf_dir, "siamese_pred")
-    scored = f.select(
+    scored = g.select(
         "row", "label_clean", "qnode", "kg_label", "retrieval_score",
         "siamese_prediction", *fp_cols,
     )
