@@ -168,3 +168,32 @@ def test_plane_dots_fold_matches_gated_bucket(spark):
     )
     for r in out:
         assert r["orig"] == r["staged"], (r["id"], r["depth"])
+
+
+def test_sql_string_forms_match_column_forms(spark):
+    """The server-parsed SQL renderings (string operands) must equal the
+    Column-built forms exactly — same expression tree, just one py4j
+    call."""
+    from wikidata_wikifier_spark.functions.vectors import dot_unrolled
+
+    df = _edge_vectors(spark).withColumnRenamed("v", "a").withColumn(
+        "b", F.reverse(F.col("a"))
+    )
+    df = df.withColumn("na", norm_fixed("a", DIM)).withColumn(
+        "nb", norm_fixed("b", DIM)
+    )
+    out = df.select(
+        cosine_fixed(F.col("a"), F.col("b"), DIM).alias("col_form"),
+        cosine_fixed("a", "b", DIM, na="na", nb="nb").alias("sql_form"),
+        dot_unrolled(F.col("a"), F.col("b"), DIM).alias("col_dot"),
+        dot_unrolled("a", "b", DIM).alias("sql_dot"),
+        norm_fixed(F.col("a"), DIM).alias("col_norm"),
+        norm_fixed("a", DIM).alias("sql_norm"),
+        lsh_bucket(F.col("a"), dim=DIM).alias("col_bucket"),
+        lsh_bucket("a", dim=DIM).alias("sql_bucket"),
+    ).collect()
+    for r in out:
+        assert repr(r["col_form"]) == repr(r["sql_form"])
+        assert repr(r["col_dot"]) == repr(r["sql_dot"])
+        assert repr(r["col_norm"]) == repr(r["sql_norm"])
+        assert r["col_bucket"] == r["sql_bucket"]

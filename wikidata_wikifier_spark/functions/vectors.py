@@ -72,37 +72,58 @@ def cosine(a: Column, b: Column) -> Column:
 # of the whole stage.
 UNROLL_MAX_DIM = 256
 
+# Build-time note: chaining `acc + term` Column ops costs one py4j round
+# trip PER TERM (~4ms each — measured 6-7s of pure DataFrame build for
+# the LSH query's ~1400 terms, dwarfing its execution). When the operand
+# is a plain column NAME the whole chain is therefore rendered as ONE SQL
+# string and parsed server-side with F.expr — one py4j call. SQL `+` is
+# left-associative and `a[i]` resolves to the same 0-based GetArrayItem
+# as Column.getItem, so the parsed tree is the identical expression.
 
-def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
-    """Bit-exact unrolled `dot` for size-`dim` arrays (see module note)."""
+
+def _sql_dot(a: str, b: str, dim: int) -> str:
+    terms = " + ".join(
+        f"CAST(`{a}`[{i}] AS DOUBLE) * CAST(`{b}`[{i}] AS DOUBLE)" for i in range(dim)
+    )
+    return f"0.0D + {terms}"
+
+
+def dot_unrolled(a: Column | str, b: Column | str, dim: int) -> Column:
+    """Bit-exact unrolled `dot` for size-`dim` arrays (see module note).
+    String operands = column names, rendered as one server-parsed SQL
+    expression (same tree, ~dim fewer py4j calls)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_sql_dot(a, b, dim))
     acc: Column = F.lit(0.0)
     for i in range(dim):
         acc = acc + a.getItem(i).cast("double") * b.getItem(i).cast("double")
     return acc
 
 
-def norm_unrolled(a: Column, dim: int) -> Column:
+def norm_unrolled(a: Column | str, dim: int) -> Column:
     """Bit-exact unrolled `norm` for size-`dim` arrays."""
+    if isinstance(a, str):
+        return F.expr(f"SQRT({_sql_dot(a, a, dim)})")
     acc: Column = F.lit(0.0)
     for i in range(dim):
         acc = acc + a.getItem(i).cast("double") * a.getItem(i).cast("double")
     return F.sqrt(acc)
 
 
-def norm_fixed(a: Column, dim: int | None) -> Column:
+def norm_fixed(a: Column | str, dim: int | None) -> Column:
     """`norm` specialised to a uniform dimension (see CALLER CONTRACT);
     dim=None returns the original interpreted fold unchanged."""
     if not dim or dim > UNROLL_MAX_DIM:
-        return norm(a)
+        return norm(F.col(a) if isinstance(a, str) else a)
     return norm_unrolled(a, dim)
 
 
 def cosine_fixed(
-    a: Column,
-    b: Column,
+    a: Column | str,
+    b: Column | str,
     dim: int | None,
-    na: Column | None = None,
-    nb: Column | None = None,
+    na: Column | str | None = None,
+    nb: Column | str | None = None,
 ) -> Column:
     """`cosine` specialised to a uniform dimension, bit-equal to cosine()
     on conforming data (see CALLER CONTRACT above).
@@ -111,9 +132,21 @@ def cosine_fixed(
     join precompute each side's norm once per ROW instead of once per
     PAIR (guide §2.3: don't recompute what a narrower input carries).
     Pass dim=None (e.g. when the corpus has mixed dims) to get the
-    original expression unchanged."""
+    original expression unchanged. All-string operands render as one
+    server-parsed SQL expression (see build-time note)."""
     if not dim or dim > UNROLL_MAX_DIM:
-        return cosine(a, b)
+        return cosine(
+            F.col(a) if isinstance(a, str) else a,
+            F.col(b) if isinstance(b, str) else b,
+        )
+    if (
+        isinstance(a, str) and isinstance(b, str)
+        and isinstance(na, str) and isinstance(nb, str)
+    ):
+        return F.expr(
+            f"CASE WHEN (`{na}` * `{nb}`) = 0 THEN 0.0D "
+            f"ELSE ({_sql_dot(a, b, dim)}) / (`{na}` * `{nb}`) END"
+        )
     na = na if na is not None else norm_fixed(a, dim)
     nb = nb if nb is not None else norm_fixed(b, dim)
     denom = na * nb

@@ -380,10 +380,8 @@ def embedding_cosine_pairs(
     # recomputed twice); unrolled codegen'd cosine when dim is known —
     # bit-equal either way (functions/vectors.py)
     if dim and dim <= UNROLL_MAX_DIM:
-        v = v.withColumn("_n", norm_fixed(F.col("v"), dim))
-        cos = cosine_fixed(
-            F.col("va"), F.col("vb"), dim, na=F.col("_na"), nb=F.col("_nb")
-        )
+        v = v.withColumn("_n", norm_fixed("v", dim))
+        cos = cosine_fixed("va", "vb", dim, na="_na", nb="_nb")
         a = v.select(F.col("id").alias("a"), "blk", "sub",
                      F.col("v").alias("va"), F.col("_n").alias("_na"))
         b = v.select(F.col("id").alias("b"), "blk", "sub",

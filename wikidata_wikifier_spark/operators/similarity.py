@@ -62,11 +62,9 @@ def brute_force_topk(
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
     c = _spread(embs.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("nv")), "n_id")
     if dim and dim <= UNROLL_MAX_DIM:
-        q = q.withColumn("_qn", norm_fixed(F.col("qv"), dim))
-        c = c.withColumn("_nn", norm_fixed(F.col("nv"), dim))
-        cos = cosine_fixed(
-            F.col("qv"), F.col("nv"), dim, na=F.col("_qn"), nb=F.col("_nn")
-        )
+        q = q.withColumn("_qn", norm_fixed("qv", dim))
+        c = c.withColumn("_nn", norm_fixed("nv", dim))
+        cos = cosine_fixed("qv", "nv", dim, na="_qn", nb="_nn")
     else:
         cos = cosine(F.col("qv"), F.col("nv"))
     scored = (
@@ -118,6 +116,17 @@ def _plane_dot_unrolled(vec: Column, p: int, dim: int) -> Column:
     for d in range(dim):
         acc = acc + vec.getItem(d).cast("double") * F.lit(_plane_weight_const(p, d))
     return acc
+
+
+def _sql_plane_dot(vec: str, p: int, dim: int) -> str:
+    """_plane_dot_unrolled as SQL text (weights are exact x.0 doubles,
+    rendered `{w:.1f}D`) — see vectors.py build-time note: one F.expr
+    parse replaces dim py4j round trips."""
+    terms = " + ".join(
+        f"CAST(`{vec}`[{d}] AS DOUBLE) * {_plane_weight_const(p, d):.1f}D"
+        for d in range(dim)
+    )
+    return f"0.0D + {terms}"
 
 
 # A single generated JVM method hard-caps at 64KB (Janino refuses larger;
@@ -174,17 +183,30 @@ def bucket_from_dots(dots: Column, n_planes: int, depth: Column | None = None) -
     return bucket
 
 
-def lsh_bucket(vec: Column, n_planes: int = N_PLANES, dim: int | None = None) -> Column:
+def lsh_bucket(
+    vec: Column | str, n_planes: int = N_PLANES, dim: int | None = None
+) -> Column:
     """Random-hyperplane signature: bit p = sign(plane_p · v).
 
     dim: uniform vector dimension when known (same caller contract as
     vectors.cosine_fixed) — plane dots unroll to codegen'd arithmetic,
     bit-equal to the fold (null vectors null every dot, so every plane
-    contributes 0 and the bucket is 0 in both forms). Oversized
-    signatures (n_planes·dim beyond the codegen budget) fall back to the
+    contributes 0 and the bucket is 0 in both forms). A string `vec` is
+    a column name: the whole signature renders as ONE server-parsed SQL
+    expression (vectors.py build-time note). Oversized signatures
+    (n_planes·dim beyond the codegen budget) fall back to the
     interpreted per-plane fold; DataFrame-level callers should stage
     plane_dots_fold + bucket_from_dots instead."""
     unroll = bool(dim) and n_planes * dim <= UNROLL_BUCKET_MAX_TERMS
+    if isinstance(vec, str) and unroll:
+        cases = " + ".join(
+            f"CASE WHEN round({_sql_plane_dot(vec, p, dim)}, 6) >= 0 "
+            f"THEN {1 << p}L ELSE 0L END"
+            for p in range(n_planes)
+        )
+        return F.expr(f"CAST(0 AS BIGINT) + {cases}")
+    if isinstance(vec, str):
+        vec = F.col(vec)
     bucket: Column = F.lit(0).cast("long")
     for p in range(n_planes):
         d = _plane_dot_unrolled(vec, p, dim) if unroll else _plane_dot(vec, p)
@@ -264,7 +286,7 @@ def lsh_topk(
         embs.select(
             F.col(id_col).alias("n_id"),
             F.col(vec_col).alias("nv"),
-            lsh_bucket(F.col(vec_col), dim=dim).alias("bucket"),
+            lsh_bucket(vec_col, dim=dim).alias("bucket"),
         ),
         "n_id",
     )
@@ -275,18 +297,16 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("qv"),
-        lsh_bucket(F.col(vec_col), dim=dim).alias("_sig"),
+        lsh_bucket(vec_col, dim=dim).alias("_sig"),
     ).select(
         "q_id",
         "qv",
         F.explode(probe_buckets(F.col("_sig"), radius=probe_radius)).alias("bucket"),
     )
     if dim and dim <= UNROLL_MAX_DIM:
-        c = c.withColumn("_nn", norm_fixed(F.col("nv"), dim))
-        q = q.withColumn("_qn", norm_fixed(F.col("qv"), dim))
-        cos = cosine_fixed(
-            F.col("qv"), F.col("nv"), dim, na=F.col("_qn"), nb=F.col("_nn")
-        )
+        c = c.withColumn("_nn", norm_fixed("nv", dim))
+        q = q.withColumn("_qn", norm_fixed("qv", dim))
+        cos = cosine_fixed("qv", "nv", dim, na="_qn", nb="_nn")
     else:
         cos = cosine(F.col("qv"), F.col("nv"))
     scored = (
