@@ -667,19 +667,33 @@ def q_wikify_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     # from the MLP prediction threshold (row multiplicity preserved — the
     # anchor aggregates count candidate ROWS per qnode)
     nf = features.create_pseudo_gt(nf, "pseudo_gt_prediction", "smc_class_score")
-    anchors = nf.select("qnode", "pseudo_gt").localCheckpoint()
+    # both downstream score tables need only per-qnode anchor-row counts
+    # and the distinct-qnode set — ONE aggregate, checkpointed at ~|entity|
+    # rows, fed through the operators' existing weighted path (sum of
+    # pseudo_gt == count of anchor rows; _anchored row excluded exactly
+    # when the qnode had no anchor rows). The previous shape checkpointed
+    # the 2M-row (qnode, pseudo_gt) table and re-aggregated it in each
+    # score table.
+    stats = (
+        nf.groupBy("qnode")
+        .agg(F.sum("pseudo_gt").alias("_aw"))
+        .withColumn("_anchored", (F.col("_aw") > 0).cast("int"))
+        .localCheckpoint()
+    )
     cent = features.centroid_scores_table(
-        anchors, idx.select("qnode", "embedding"), dim_rows=idx_rows
+        stats, idx.select("qnode", "embedding"),
+        anchor_col="_anchored", weight_col="_aw", dim_rows=idx_rows,
     )
     tfs = features.tfidf_scores_table(
-        anchors,
+        stats,
         [
             (class_key_dim(spark, sf_dir).select("qnode", "key"),
              "pgt_class_count_tf_idf_score"),
             (property_key_dim(spark, sf_dir).select("qnode", "key"),
              "pgt_property_count_tf_idf_score"),
         ],
-        "pseudo_gt",
+        "_anchored",
+        weight_col="_aw",
         dim_rows=idx_rows,
     )
     from .plans.skew import size_aware_broadcast
