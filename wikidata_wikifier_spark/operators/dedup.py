@@ -114,7 +114,16 @@ def distinct_shingles3(tok_col: Column) -> Column:
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Hash-groupBy exact dedup: (doc_id, group_id=min id of identical
-    text, group_size, is_canonical)."""
+    text, group_size, is_canonical).
+
+    The (id, h) subtree is referenced twice (group aggregate + join-back
+    side) so the scan + md5 run twice — measured r06 A/B at sf0.1 and the
+    10x replica: a localCheckpoint barrier costs MORE than the second
+    cached-parquet scan at both scales (+0.2s fixed job overhead vs a
+    ~free re-scan), so the double-reference stays. The join shape is kept
+    over a window-over-h alternative deliberately: a single hot duplicate
+    text would land one window task with the whole group, while the join
+    is AQE-skew-splittable."""
     h = docs.select(id_col, md5_long(norm_text(F.col(text_col))).alias("h"))
     groups = h.groupBy("h").agg(
         F.min(id_col).alias("group_id"), F.count("*").alias("group_size")
@@ -255,14 +264,20 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
     left = banded.select(F.col(id_col).alias("a"), F.col("simhash").alias("sa"), "band", "bh")
     right = banded.select(F.col(id_col).alias("b"), F.col("simhash").alias("sb"), "band", "bh")
+    # r06: hamming filter BEFORE the distinct (guide §2.3 — shuffle fewer
+    # bytes). The verify predicate is a codegen'd bit_count over columns
+    # already in hand, so it costs nothing per joined row, while the
+    # distinct's exchange previously carried EVERY band-join survivor
+    # (27M pairs at sf1.0) only to drop almost all of them afterwards.
+    # Output identical: each id has exactly one simhash, so hamming is a
+    # pure function of (a, b) and dedup-then-filter ≡ filter-then-dedup.
     return (
         left.join(right, ["band", "bh"])
         .where(F.col("a") < F.col("b"))
-        .select("a", "b", "sa", "sb")
-        .distinct()
         .withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
         .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .select("a", "b", "hamming")
+        .distinct()
     )
 
 

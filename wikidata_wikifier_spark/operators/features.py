@@ -470,25 +470,37 @@ def tfidf_scores_table(
     anchor_col: str,
     weight_col: str | None = None,
     dim_rows: int | None = None,
+    pre_aggregated: bool = False,
 ) -> DataFrame:
     """The per-qnode (qnode, out...) score table of
     semantic_tfidf_map_multi WITHOUT the join-back — needs only (qnode,
     anchor_col [, weight]) from cands, so callers holding the wide table
-    can feed a narrow projection (see centroid_scores_table)."""
+    can feed a narrow projection (see centroid_scores_table).
+
+    pre_aggregated=True: cands has exactly one row per qnode — the
+    distinct and the per-qnode weight re-aggregation become projections,
+    and df(k) = countDistinct(qnode) = count(*) since (fam, qnode, key)
+    rows are unique (key_dim is distinct per (qnode, key)); count skips
+    countDistinct's two-phase dedup exchange."""
     tagged = None
     for i, (kd, _out) in enumerate(dims):
         t = kd.select(F.lit(i).alias("fam"), "qnode", "key")
         tagged = t if tagged is None else tagged.unionByName(t)
     w_expr = F.col(weight_col) if weight_col else F.lit(1)
-    qn = cands.select("qnode").distinct()
+    qn = cands.select("qnode") if pre_aggregated else cands.select("qnode").distinct()
     ck = qn.join(size_aware_broadcast(tagged, dim_rows), "qnode")
     n_q = qn.agg(F.count("*").alias("n_qnodes"))
-    df_k = ck.groupBy("fam", "key").agg(F.countDistinct("qnode").alias("df"))
-    tf_k = (
-        cands.where(F.col(anchor_col) == 1)
+    df_agg = F.count("*") if pre_aggregated else F.countDistinct("qnode")
+    df_k = ck.groupBy("fam", "key").agg(df_agg.alias("df"))
+    aw = (
+        cands.where(F.col(anchor_col) == 1).select("qnode", w_expr.alias("_aw"))
+        if pre_aggregated
+        else cands.where(F.col(anchor_col) == 1)
         .groupBy("qnode")
         .agg(F.sum(w_expr).alias("_aw"))
-        .join(ck, "qnode")
+    )
+    tf_k = (
+        aw.join(ck, "qnode")
         .groupBy("fam", "key")
         .agg(F.sum("_aw").alias("tf"))
     )
@@ -768,6 +780,7 @@ def centroid_scores_table(
     out: str = "pgt_centroid_score",
     weight_col: str | None = None,
     dim_rows: int | None = None,
+    pre_aggregated: bool = False,
 ) -> DataFrame:
     """The (qnode, out) score table of embedding_centroid_score WITHOUT
     the join-back — every aggregate here needs only (qnode, anchor_col
@@ -775,13 +788,22 @@ def centroid_scores_table(
     can feed a NARROW projection and join the tiny result back once
     (wikify_end_to_end's per-run tail re-derives pseudo-GT-anchored
     scores; scanning the 2M-row wide table per aggregate was the
-    measured cost — guide §2.3 project early)."""
+    measured cost — guide §2.3 project early).
+
+    pre_aggregated=True declares cands already has EXACTLY ONE row per
+    qnode (e.g. wikify's checkpointed per-qnode stats table): the
+    per-qnode weight re-aggregation and the distinct collapse to plain
+    projections — groupBy of a unique key and distinct of a unique
+    column are identity aggregates, but each still costs an exchange
+    (guide §2.4 'a distinct on data that is already unique')."""
     w_expr = F.col(weight_col) if weight_col else F.lit(1)
-    anchor_counts = (
-        cands.where(F.col(anchor_col) == 1)
-        .groupBy("qnode")
-        .agg(F.sum(w_expr).alias("w"))
-    )
+    anchored = cands.where(F.col(anchor_col) == 1)
+    if pre_aggregated:
+        anchor_counts = anchored.select("qnode", w_expr.alias("w"))
+        qn = cands.select("qnode")
+    else:
+        anchor_counts = anchored.groupBy("qnode").agg(F.sum(w_expr).alias("w"))
+        qn = cands.select("qnode").distinct()
     a_emb = anchor_counts.join(size_aware_broadcast(emb_dim, dim_rows), "qnode")
     centroid = (
         a_emb.select("w", F.posexplode(emb_col).alias("i", "v"))
@@ -791,9 +813,7 @@ def centroid_scores_table(
         )
     )
     qn = (
-        cands.select("qnode")
-        .distinct()
-        .join(size_aware_broadcast(emb_dim, dim_rows), "qnode")
+        qn.join(size_aware_broadcast(emb_dim, dim_rows), "qnode")
         .select("qnode", F.posexplode(emb_col).alias("i", "v"))
     )
     return (

@@ -680,9 +680,13 @@ def q_wikify_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_anchored", (F.col("_aw") > 0).cast("int"))
         .localCheckpoint()
     )
+    # stats is one row per qnode by construction — the score tables' own
+    # distinct / per-qnode re-aggregation are identity exchanges on it,
+    # skipped via pre_aggregated (guide §2.4)
     cent = features.centroid_scores_table(
         stats, idx.select("qnode", "embedding"),
         anchor_col="_anchored", weight_col="_aw", dim_rows=idx_rows,
+        pre_aggregated=True,
     )
     tfs = features.tfidf_scores_table(
         stats,
@@ -695,18 +699,26 @@ def q_wikify_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_anchored",
         weight_col="_aw",
         dim_rows=idx_rows,
+        pre_aggregated=True,
     )
     from .plans.skew import size_aware_broadcast
 
-    g = f.drop(
-        "pseudo_gt", "pgt_centroid_score",
-        "pgt_class_count_tf_idf_score", "pgt_property_count_tf_idf_score",
+    # project the wide table to exactly the columns the final MLP + output
+    # need BEFORE the join-backs (guide §2.3 project early: the dropped
+    # ~10 feature/context columns otherwise ride through both joins and
+    # the fills), and attach BOTH entity-scale score tables in ONE
+    # broadcast join (full-outer merge on qnode first — each is ≤ one row
+    # per qnode, so the merge is exact and one broadcast exchange + one
+    # probe pass replace two)
+    g = f.select(
+        "row", "label_clean", "qnode", "kg_label", "retrieval_score",
+        "monge_elkan", "monge_elkan_aliases", "jaro_winkler", "levenshtein",
+        "singleton", "context_score_3", "num_occurences",
     )
-    g = g.join(size_aware_broadcast(cent, idx_rows), "qnode", "left").na.fill(
-        {"pgt_centroid_score": 0.0}
-    )
-    g = g.join(size_aware_broadcast(tfs, idx_rows), "qnode", "left").na.fill(
-        {"pgt_class_count_tf_idf_score": 0.0,
+    scores = cent.join(tfs, "qnode", "full")
+    g = g.join(size_aware_broadcast(scores, idx_rows), "qnode", "left").na.fill(
+        {"pgt_centroid_score": 0.0,
+         "pgt_class_count_tf_idf_score": 0.0,
          "pgt_property_count_tf_idf_score": 0.0}
     )
     g = ranker.predict_using_model(
