@@ -69,6 +69,31 @@ def _cap_per_mention(df: DataFrame) -> DataFrame:
 # there, like Elasticsearch's own fuzzy retrieval.
 
 
+def _hint_smaller(
+    left: DataFrame,
+    left_rows: int | None,
+    right: DataFrame,
+    right_rows: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Place the broadcast hint on the SMALLER known side of an equi-join
+    (guide §3.1: broadcast the side that fits). The candidate-generation
+    joins pair a vocabulary-scale label table against entity-scale index
+    tables; hinting the index side unconditionally built 0.6-4.8M-row
+    hash relations to probe with a few hundred label rows (measured 10s+
+    of the replica-scale build). Either side may carry the hint — inner
+    equi-joins commute, and every downstream aggregate here is
+    value-unique per group (kg_label_src/pagerank are constant per
+    qnode), so the build-side flip never changes results. Unknown sizes
+    count as infinite; if the smaller side is still over the broadcast
+    bound, size_aware_broadcast leaves both hintless (planner + AQE
+    decide)."""
+    lk = left_rows if left_rows is not None else float("inf")
+    rk = right_rows if right_rows is not None else float("inf")
+    if lk <= rk:
+        return size_aware_broadcast(left, left_rows), right
+    return left, size_aware_broadcast(right, right_rows)
+
+
 def _apply_isa(index: DataFrame, isa: str | None) -> DataFrame:
     """`--isa {Qxxx}` class restriction (wikifier.py:97-113): the
     reference appends an instance-of filter to every ES query when the
@@ -204,6 +229,7 @@ def _scored_string_pairs(
     index: DataFrame,
     aidx: DataFrame | None = None,
     idx_rows: int | None = None,
+    m_rows: int | None = None,
 ) -> DataFrame:
     """STRING-level candidate scoring: (label_clean, alias_norm, jaccard,
     lev_sim) over DISTINCT strings only.
@@ -253,7 +279,10 @@ def _scored_string_pairs(
     )
     return (
         pairs.join(
-            size_aware_broadcast(m_str.select("label_clean", "mg", "n_m"), idx_rows),
+            size_aware_broadcast(
+                m_str.select("label_clean", "mg", "n_m"),
+                m_rows if m_rows is not None else idx_rows,
+            ),
             "label_clean",
         )
         .join(
@@ -389,13 +418,21 @@ def label_candidates(
     # the candidate table materializes in ONE label-keyed join at the very
     # end — zero corpus-scale shuffles in candidate generation.
     m_str = m_str.select("label_clean").distinct().localCheckpoint()
-    spairs = _scored_string_pairs(m_str, idx, aidx=aidx, idx_rows=idx_rows)
+    # the label table is vocabulary-scale and just materialized — one
+    # cheap count makes every strategy join broadcast the smaller side
+    # (the exploded index tables are entity-scale: 600k aliases / 4.8M
+    # prefixes at 10x bench scale vs a few hundred labels)
+    m_rows = m_str.count()
+    spairs = _scored_string_pairs(
+        m_str, idx, aidx=aidx, idx_rows=idx_rows, m_rows=m_rows
+    )
     aliases = aidx.select("qnode", "kg_label_src", "pagerank", "alias_norm")
 
     # exact: label_clean == alias_norm (≤1 row per (label, qnode): the
     # alias index is distinct on (qnode, alias_norm))
-    exact_s = m_str.join(
-        size_aware_broadcast(aliases, idx_rows),
+    lm, ra = _hint_smaller(m_str, m_rows, aliases, idx_rows)
+    exact_s = lm.join(
+        ra,
         F.col("label_clean") == F.col("alias_norm"),
         "inner",
     ).select(
@@ -413,11 +450,15 @@ def label_candidates(
         F.col("label_clean"), 1,
         F.least(F.length("label_clean"), F.lit(EDGE_MAX)).cast("int"),
     )
+    lmk, rp = _hint_smaller(
+        m_str.withColumn("mkey", mkey).where(F.length("mkey") >= EDGE_MIN),
+        m_rows,
+        pidx,
+        None if idx_rows is None else idx_rows * 8,
+    )
     ngram_s = (
-        m_str.withColumn("mkey", mkey)
-        .where(F.length("mkey") >= EDGE_MIN)
-        .join(
-            size_aware_broadcast(pidx, None if idx_rows is None else idx_rows * 8),
+        lmk.join(
+            rp,
             F.col("mkey") == F.col("prefix"),
             "inner",
         )
@@ -442,8 +483,13 @@ def label_candidates(
         F.when(F.col("jaccard") >= TRIGRAM_JACCARD_MIN, F.col("jaccard")).alias("tri"),
         F.when(F.col("lev_sim") >= FUZZY_SIM_MIN, F.col("lev_sim")).alias("fuz"),
     ).where(F.col("tri").isNotNull() | F.col("fuz").isNotNull())
+    # the thresholded string matches are vocabulary-pair-scale — one
+    # cheap materialization + count makes them the broadcast side instead
+    # of building the entity-scale alias hash relation
+    str_m = str_m.localCheckpoint()
+    ls, ras = _hint_smaller(str_m, str_m.count(), aliases, idx_rows)
     tf_s = (
-        str_m.join(size_aware_broadcast(aliases, idx_rows), "alias_norm")
+        ls.join(ras, "alias_norm")
         .select(
             "label_clean", "qnode", "kg_label_src", "pagerank",
             F.explode(
