@@ -523,6 +523,80 @@ _COSINE_DEPTH = (
 N_PLANES = 8
 _LSH_BUCKET = _lsh_bucket_sql(N_PLANES)
 
+
+def _calibrated_mlp_sql(
+    features: list[tuple[str, float, float, float]],
+    gain: float,
+    bias: float,
+    out: str,
+    src: str,
+) -> str:
+    """The calibrated PairwiseNetwork forward pass (ranker.py::
+    make_calibrated_weights + mlp_forward) as one SQL expression —
+    closing the last checkable `no_oracle` rows (VERDICT r05 #3).
+
+    make_calibrated_weights places the feature weights in hidden unit 0
+    of layer 0 and routes ONLY that unit through layers 1-3 with 1.0
+    weights and 0.0 biases, so the network's numpy output is EXACTLY
+        sigmoid(gain * relu(Σ_i xs_i·fw_i) + bias),
+    xs_i = (coalesce(x_i, 0) − data_min_i) / range_i:
+    every other hidden unit is relu(Σ x·0 + 0) = 0.0, and each later
+    layer's unit 0 is h·1.0 plus 0.0·0.0 terms — exact IEEE identities
+    (h·1.0 = h; adding +0.0 to a non-negative double is exact; relu is
+    idempotent on the already-non-negative unit). The dot accumulates
+    left-to-right in feature order, matching BLAS dgemm's k-sequential
+    accumulation for these k≤10 matmuls; the trailing round(·, 6) on
+    both engines absorbs last-ulp libm exp() differences except exactly
+    at a .5e-6 boundary (verified hash-exact on every driver SF by the
+    parity suite). Weight/scale literals are repr round-trips — the
+    parsed doubles are bit-identical to ranker.py's arrays.
+
+    features: (column, weight, data_min, data_max) in model order —
+    values must stay in lockstep with ranker.py's FEATURE tables (pinned
+    by tests/test_oracle_parity.py both-engine runs).
+    """
+    terms = []
+    for col, w, dmin, dmax in features:
+        rng = dmax - dmin if dmax != dmin else 1.0
+        terms.append(
+            f"((CAST(coalesce({col}, 0.0) AS DOUBLE) - {dmin!r}) / {rng!r})"
+            f" * {w!r}"
+        )
+    dot = " + ".join(terms)
+    z = f"{gain!r} * greatest({dot}, 0.0) + {bias!r}"
+    return (
+        f"SELECT row, qnode, round(1.0 / (1.0 + exp(-({z}))), 6) AS {out} "
+        f"FROM {src}"
+    )
+
+
+# feature tables (column, weight, data_min, data_max) — lockstep with
+# ranker.py::PSEUDO_GT_FEATURES/FINAL_FEATURES + *_FEATURE_WEIGHTS +
+# *_DATA_MIN/MAX (oracle-vs-Spark parity pins the duplication)
+_PSEUDO_GT_MLP_FEATURES = [
+    ("monge_elkan", 1.5, 0.0, 1.0),
+    ("monge_elkan_aliases", 1.0, 0.0, 1.0),
+    ("jaro_winkler", 0.75, 0.0, 1.0),
+    ("levenshtein", 0.75, 0.0, 1.0),
+    ("singleton", 0.3, 0.0, 1.0),
+    ("pgr_rts", 0.5, 0.0, 3.0),
+    ("context_score", 1.5, 0.0, 1.0),
+    ("smc_class_score", 0.25, 0.0, 1.0),
+    ("smc_property_score", 0.25, 0.0, 1.0),
+]
+_FINAL_MLP_FEATURES = [
+    ("monge_elkan", 1.5, 0.0, 1.0),
+    ("monge_elkan_aliases", 1.0, 0.0, 1.0),
+    ("jaro_winkler", 0.75, 0.0, 1.0),
+    ("levenshtein", 0.75, 0.0, 1.0),
+    ("singleton", 0.3, 0.0, 1.0),
+    ("context_score_3", 2.0, 0.0, 1.0),
+    ("pgt_centroid_score", 0.1, 0.0, 1.0),
+    ("pgt_class_count_tf_idf_score", 0.25, 0.0, 1.0),
+    ("pgt_property_count_tf_idf_score", 0.25, 0.0, 1.0),
+    ("num_occurences", 0.5, 1.0, 4.0),
+]
+
 _LANG_SCORES = ",\n           ".join(
     f"len(list_filter(toks, t -> list_contains({words!r}, t))) AS score_{lang}"
     for lang, words in sorted(
@@ -834,11 +908,18 @@ ORACLES: dict[str, str] = {
     "features_pgt_tfidf_map": FEATURE_CTES
     + """SELECT row, qnode, pgt_class_count_tf_idf_score,
                 pgt_property_count_tf_idf_score FROM f13""",
-    # ranker_pseudo_gt_mlp / ranker_siamese_mlp: the MLP forward pass is
-    # not ANSI-SQL-expressible → rows-only checks (numerics pinned by
-    # pytest vs numpy). wikify_end_to_end IS oracle-checked: the Spark
-    # query hands the final MLP scores off via parquet and the whole
-    # output tail is verified below.
+    # ranker MLPs (r06, VERDICT r05 #3): the CALIBRATED network collapses
+    # to sigmoid(gain·relu(w·x_scaled)+bias) exactly (see
+    # _calibrated_mlp_sql), so both forward passes ARE SQL-expressible
+    # and the last two checkable no_oracle rows flip to hash-exact.
+    "ranker_pseudo_gt_mlp": FEATURE_CTES
+    + _calibrated_mlp_sql(
+        _PSEUDO_GT_MLP_FEATURES, 4.0, -16.0, "pseudo_gt_prediction", "f13"
+    ),
+    "ranker_siamese_mlp": FEATURE_CTES
+    + _calibrated_mlp_sql(
+        _FINAL_MLP_FEATURES, 4.0, -24.0, "siamese_prediction", "f13"
+    ),
     "kg_links_top3": FEATURE_CTES
     + """
         SELECT row, qnode, retrieval_score, pagerank, rank FROM (
