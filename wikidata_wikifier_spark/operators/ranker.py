@@ -153,6 +153,28 @@ def minmax_scale(x: np.ndarray, data_min: np.ndarray, data_max: np.ndarray) -> n
     return (x - data_min) / rng
 
 
+def _calibrated_params(
+    weights: dict[str, np.ndarray],
+) -> tuple[np.ndarray, float, float] | None:
+    """(feature_weights, gain, bias) iff `weights` is EXACTLY the output
+    of make_calibrated_weights for some (fw, gain, bias) — verified by
+    reconstructing and comparing every array bit-for-bit — else None."""
+    try:
+        fw = np.asarray(weights["W0"], dtype=np.float64)[:, 0]
+        gain = float(np.asarray(weights["W3"])[0, 0])
+        bias = float(np.asarray(weights["b3"])[0])
+    except (KeyError, IndexError):
+        return None
+    expect = make_calibrated_weights(fw, gain=gain, bias=bias)
+    if set(weights) != set(expect):
+        return None
+    for k, v in expect.items():
+        got = np.asarray(weights[k])
+        if got.shape != v.shape or not np.array_equal(got, v):
+            return None
+    return fw, gain, bias
+
+
 def predict_using_model(
     df: DataFrame,
     features: list[str],
@@ -163,7 +185,37 @@ def predict_using_model(
 ) -> DataFrame:
     """`predict-using-model -o {out} --features ... --normalization-factor
     ...` as ONE vectorized pandas UDF over an array column (single Arrow
-    exchange for all features; model math is numpy matmul per batch)."""
+    exchange for all features; model math is numpy matmul per batch).
+
+    CALIBRATED fast path (r06, guide §4.1 — eliminate the Python
+    boundary): every production caller uses make_calibrated_weights, whose
+    network collapses EXACTLY to sigmoid(gain·relu(Σ xs_i·fw_i)+bias)
+    (the IEEE-identity proof lives in oracles._calibrated_mlp_sql — the
+    DuckDB oracle for the two ranker queries already computes this closed
+    form). When the weight dict matches that structure bit-for-bit, the
+    score is emitted as a NATIVE codegen'd column expression with the
+    same left-to-right term association as the oracle SQL: no Arrow
+    exchange, and the surrounding stage stays one codegen span. Rounded
+    outputs verified row-identical to the UDF path at sf0.001/0.01/0.1
+    (BENCH/ab_mlp_native.py). Arbitrary weights (e.g. the random-weight
+    pytest) keep the vectorized UDF path."""
+    calib = _calibrated_params(weights)
+    if calib is not None and len(features) == len(calib[0]):
+        fw, gain, bias = calib
+        dmin_l = np.asarray(data_min, dtype=np.float64).tolist()
+        dmax_l = np.asarray(data_max, dtype=np.float64).tolist()
+        dot = None
+        for c, w_i, lo, hi in zip(features, fw.tolist(), dmin_l, dmax_l):
+            rng_i = hi - lo if hi != lo else 1.0
+            xs = (
+                F.coalesce(F.col(c).cast("double"), F.lit(0.0)) - F.lit(lo)
+            ) / F.lit(rng_i)
+            term = xs * F.lit(float(w_i))
+            dot = term if dot is None else dot + term
+        z = F.lit(gain) * F.greatest(dot, F.lit(0.0)) + F.lit(bias)
+        score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        return df.withColumn(out, F.round(score, 6))
+
     w = {k: v.copy() for k, v in weights.items()}
     dmin = np.asarray(data_min, dtype=np.float64)
     dmax = np.asarray(data_max, dtype=np.float64)
