@@ -39,7 +39,9 @@ def test_bench_cli_json_contract():
     for q, med in out["queries"].items():
         lo, hi = out["queries_spread"][q]
         assert lo <= med <= hi
-    assert out["value"] == round(sum(out["queries"].values()), 3)
+    # bench.py sums UNROUNDED medians then rounds; summing the rounded
+    # per-query values can land 0.001/query away — tolerance, not equality
+    assert abs(out["value"] - sum(out["queries"].values())) <= 0.001 * len(out["queries"])
     # first-run sum >= nothing in particular, but must be present + finite
     assert out["value_run1"] > 0
     # probe bracket: two entries, each a float or None (probe never fatal)

@@ -491,7 +491,6 @@ def tfidf_scores_table(
     ck = qn.join(size_aware_broadcast(tagged, dim_rows), "qnode")
     n_q = qn.agg(F.count("*").alias("n_qnodes"))
     df_agg = F.count("*") if pre_aggregated else F.countDistinct("qnode")
-    df_k = ck.groupBy("fam", "key").agg(df_agg.alias("df"))
     aw = (
         cands.where(F.col(anchor_col) == 1).select("qnode", w_expr.alias("_aw"))
         if pre_aggregated
@@ -499,42 +498,54 @@ def tfidf_scores_table(
         .groupBy("qnode")
         .agg(F.sum(w_expr).alias("_aw"))
     )
-    tf_k = (
-        aw.join(ck, "qnode")
+    # r06: df(k) and tf(k) in ONE aggregate — aw (≤ one row per qnode)
+    # rides a left join onto ck, so the former separate df groupBy of ck
+    # and the tf join+groupBy collapse into a single (fam, key) exchange.
+    # tf = sum(_aw) is null for keys with no anchored qnode; coalesce(tf,
+    # 0) makes their _micro floor(0.5) = 0, exactly the contribution the
+    # old inner-join shape gave them via the s_q left-join + fill(0).
+    kstats = (
+        ck.join(size_aware_broadcast(aw, dim_rows), "qnode", "left")
         .groupBy("fam", "key")
-        .agg(F.sum("_aw").alias("tf"))
+        .agg(df_agg.alias("df"), F.sum("_aw").alias("tf"))
     )
     micro = (
-        tf_k.join(df_k, ["fam", "key"])
-        .crossJoin(F.broadcast(n_q))
+        kstats.crossJoin(F.broadcast(n_q))
         .select(
             "fam",
             "key",
             F.floor(
-                F.col("tf") * F.log(F.col("n_qnodes") / F.col("df")) * 1e6 + F.lit(0.5)
+                F.coalesce(F.col("tf"), F.lit(0))
+                * F.log(F.col("n_qnodes") / F.col("df")) * 1e6 + F.lit(0.5)
             ).cast("long").alias("_micro"),
         )
     )
-    s_q = (
-        ck.join(F.broadcast(micro), ["fam", "key"], "left")
-        .na.fill({"_micro": 0})
-        .groupBy("fam", "qnode")
-        .agg(F.sum("_micro").alias("_s"))
+    # r06: per-qnode sums PIVOTED in one groupBy (sum filtered by fam ≡
+    # pivot of the per-(fam, qnode) sums — exact integer micros), and the
+    # per-fam max as a ONE-ROW aggregate broadcast back — replaces the
+    # former s_q exchange + max_s exchange + pivot exchange. Null corners
+    # preserved: a qnode with no fam-i keys sums to null (old pivot: max
+    # of an empty when-set), and an all-empty fam leaves _maxs{i} null so
+    # the division stays null for every qnode.
+    sq = ck.join(F.broadcast(micro), ["fam", "key"], "left").na.fill({"_micro": 0})
+    s_cols = [
+        F.sum(F.when(F.col("fam") == i, F.col("_micro"))).alias(f"_s{i}")
+        for i in range(len(dims))
+    ]
+    per_q = sq.groupBy("qnode").agg(*s_cols)
+    maxs = per_q.agg(
+        *[F.max(f"_s{i}").alias(f"_maxs{i}") for i in range(len(dims))]
     )
-    max_s = s_q.groupBy("fam").agg(F.max("_s").alias("_maxs"))
-    w_out = F.when(F.col("_maxs") == 0, F.lit(0.0)).otherwise(
-        F.round(F.col("_s") / F.col("_maxs"), 6)
-    )
-    return (
-        s_q.join(F.broadcast(max_s), "fam")
-        .groupBy("qnode")
-        .agg(
-            *[
-                F.max(F.when(F.col("fam") == i, w_out)).alias(out)
-                for i, (_kd, out) in enumerate(dims)
-            ]
+    out_cols = []
+    for i, (_kd, out) in enumerate(dims):
+        s_i, m_i = F.col(f"_s{i}"), F.col(f"_maxs{i}")
+        out_cols.append(
+            F.when(s_i.isNull(), F.lit(None).cast("double"))
+            .when(m_i == 0, F.lit(0.0))
+            .otherwise(F.round(s_i / m_i, 6))
+            .alias(out)
         )
-    )
+    return per_q.crossJoin(F.broadcast(maxs)).select("qnode", *out_cols)
 
 
 _NUM_RE = r"^-?[0-9]+(\.[0-9]+)?$"
