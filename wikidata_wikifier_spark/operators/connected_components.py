@@ -57,7 +57,12 @@ def connected_components(
     spark = edges.sparkSession
     dp = spark.sparkContext.defaultParallelism
     width = int(max(4, min(dp * 2, n_edges // 50_000 + 4)))
-    e = e.repartition(width, "src")
+    # keyed by dst: the checkpoint scan loses partitioning metadata, so
+    # this explicit repartition is re-planned in EVERY round — keying it
+    # by the neighbor join's own key lets it double as that join's
+    # exchange instead of adding a src-keyed shuffle the join immediately
+    # re-shuffles (one exchange per round saved; hash spread identical)
+    e = e.repartition(width, "dst")
 
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -65,7 +70,10 @@ def connected_components(
         .unionByName(edges.select(F.col(dst).cast("string").alias("node")))
         .distinct()
     )
-    comp = nodes.withColumn("comp", F.col("node")).localCheckpoint()
+    # lazy: round 1's convergence-count job materializes it (both comp
+    # references inside that job share the one RDD), saving the separate
+    # eager-materialization job
+    comp = nodes.withColumn("comp", F.col("node")).localCheckpoint(eager=False)
 
     for _ in range(max_iterations):
         # neighbor step: min of neighbor labels (round-start label kept as
