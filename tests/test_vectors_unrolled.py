@@ -197,3 +197,38 @@ def test_sql_string_forms_match_column_forms(spark):
         assert repr(r["col_dot"]) == repr(r["sql_dot"])
         assert repr(r["col_norm"]) == repr(r["sql_norm"])
         assert r["col_bucket"] == r["sql_bucket"]
+
+
+def test_distinct_char_ngrams_matches_native(spark):
+    """The Arrow-batch char-ngram builder must equal
+    array_distinct(char_ngrams(norm_text(·), 4)) element-for-element
+    (incl. order) on real docs and edge cases. BMP content only — on
+    non-BMP text the native Java form counts UTF-16 units while the
+    Arrow form (like the DuckDB oracle's substr) counts code points,
+    which is the documented oracle-true semantics."""
+    from wikidata_wikifier_spark.functions.hashing import char_ngrams
+    from wikidata_wikifier_spark.operators.dedup import (
+        distinct_char_ngrams,
+        norm_text,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    edges = spark.createDataFrame(
+        [
+            (900001, None),
+            (900002, ""),
+            (900003, "abc"),
+            (900004, "abcd"),
+            (900005, "  AbCd   efGh  "),
+            (900006, "aaaaaaaa"),
+            (900007, "héllo wörld ünïcode"),
+        ],
+        "doc_id long, text string",
+    )
+    df = docs.unionByName(edges)
+    out = df.select(
+        F.array_distinct(char_ngrams(norm_text(F.col("text")), 4)).alias("native"),
+        distinct_char_ngrams(norm_text(F.col("text")), 4).alias("arrow"),
+    ).collect()
+    for r in out:
+        assert r["native"] == r["arrow"]

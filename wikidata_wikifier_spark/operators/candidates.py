@@ -242,12 +242,21 @@ def _scored_string_pairs(
     The per-qnode fan-out happens only AFTER the similarity threshold,
     and is immediately capped per mention."""
     aidx = aidx if aidx is not None else _alias_index(index)
+    # a_str is referenced 3x (gram_df, prefix explode, verify join-back)
+    # and its subtree is a distinct exchange + interpreted char-ngram
+    # lambda per alias — the multi-reference + interpreted-heavy shape
+    # where a barrier pays (measured A/B: 1.7-1.8 -> 1.3-1.4s noop at the
+    # 10x replica, consistent at sf0.1; contrast the minhash signature
+    # barrier, measured WORSE — its subtree is codegen'd aggregates AQE
+    # already reuses). Cluster form: checkpoint()/persist to reliable
+    # storage, same seam as plans/checkpoint.py.
     a_str = (
         aidx.select("alias_norm")
         .distinct()
         .withColumn("ag", F.array_distinct(char_ngrams(F.col("alias_norm"), 3)))
         .withColumn("n_a", F.size("ag"))
         .where(F.col("n_a") > 0)
+        .localCheckpoint()
     )
     m_str = (
         mentions.select("label_clean")

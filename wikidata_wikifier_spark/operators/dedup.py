@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import affine_hash_family, char_ngrams, md5_long
+from ..functions.hashing import affine_hash_family, md5_long
 from ..functions.vectors import UNROLL_MAX_DIM, cosine, cosine_fixed, norm_fixed
 from ..plans.skew import size_aware_broadcast
 
@@ -74,6 +74,36 @@ def word_shingles(col: Column, w: int = 3) -> Column:
             lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(w)]),
         )
     )
+
+
+def distinct_char_ngrams(text_col: Column, n: int) -> Column:
+    """array_distinct(char_ngrams(·, n)) over the NORMALIZED text as one
+    vectorized Arrow batch op.
+
+    The native form pays an interpreted transform lambda + substr eval
+    PER GRAM (CodegenFallback) — measured 16.4s of the ngram-jaccard
+    sets pass at sf0.1 vs ~3s vectorized. Slicing is by CODE POINTS,
+    which matches the DuckDB oracle's substr semantics exactly (the
+    native Java form counts UTF-16 units instead, diverging from the
+    oracle on non-BMP text — this op is the oracle-true form; identical
+    on all BMP content, pinned by test_distinct_char_ngrams_matches_native).
+    First-occurrence dedup (dict.fromkeys) ≡ array_distinct; null text →
+    null, len < n → [], like the native when() branches."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    @pandas_udf(ArrayType(StringType()))
+    def _ng(t):  # type: ignore[no-untyped-def]
+        def mk(s):
+            if s is None:
+                return None
+            if len(s) < n:
+                return []
+            return list(dict.fromkeys(s[i : i + n] for i in range(len(s) - n + 1)))
+
+        return t.apply(mk)
+
+    return _ng(text_col)
 
 
 def distinct_shingles3(tok_col: Column) -> Column:
@@ -294,12 +324,20 @@ def ngram_jaccard_pairs(
     true pair must intersect: RECALL-EXACT with the O(df²) head-gram
     fan-out gone. Exact Jaccard is then verified on the candidates' full
     gram sets."""
-    sets = docs.select(
-        F.col(id_col).alias("id"),
-        F.col(block_col).alias("blk"),
-        F.array_distinct(char_ngrams(norm_text(F.col(text_col)), NGRAM_N)).alias("g"),
-    ).withColumn("n", F.size("g"))
-    g = _spread(sets, "id").select("id", "blk", "n", F.explode("g").alias("s"))
+    # r06: the gram-set table is Arrow-vectorized (distinct_char_ngrams —
+    # the interpreted per-gram transform was 16.4s of the sf0.1 pass) and
+    # CHECKPOINTED: it is referenced by the explode AND both verify sides,
+    # which re-ran the gram build 3x (the same fix measured on the
+    # minhash sets table; cluster form = checkpoint to reliable storage)
+    sets = _spread(
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.col(block_col).alias("blk"),
+            distinct_char_ngrams(norm_text(F.col(text_col)), NGRAM_N).alias("g"),
+        ).withColumn("n", F.size("g")),
+        "id",
+    ).localCheckpoint()
+    g = sets.select("id", "blk", "n", F.explode("g").alias("s"))
     df_ = g.groupBy("blk", "s").agg(F.count("*").alias("gdf"))
     from pyspark.sql import Window
 
@@ -307,16 +345,46 @@ def ngram_jaccard_pairs(
     # gram document frequencies: usually tiny (distinct grams per lang
     # block), but NOT guaranteed small at 100 TB — size_aware_broadcast
     # honors the session autoBroadcastJoinThreshold=-1 escape hatch and
-    # lets AQE demote to a shuffle join instead of OOMing the driver
+    # lets AQE demote to a shuffle join instead of OOMing the driver.
+    # pre is checkpointed: both sides of the candidate self-join read it,
+    # and its window otherwise re-executes per side (measured 5.2s/pass).
     pre = (
         g.join(size_aware_broadcast(df_, None), ["blk", "s"])
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= F.floor(F.col("n") / 5) + 1)
+        .select("id", "blk", "s", "n", "rk")
+        .localCheckpoint()
+    )
+    # ppjoin POSITIONAL filter (exact): rk is the gram's 1-based position
+    # in the doc's full (gdf, s)-sorted gram list, so the overlap of any
+    # pair colliding on this gram is ≤ min(na-rka+1, nb-rkb+1) — every
+    # common gram sorts at-or-after the colliding one on both sides. A
+    # true pair (J ≥ t ⇒ o ≥ t/(1+t)·(na+nb)) always passes on its FIRST
+    # common gram, so filtering collision rows before the distinct keeps
+    # recall exact while cutting the candidate exchange (measured 2.45M →
+    # far fewer pairs feeding the 16.8s array-intersect verify at sf0.1).
+    # ε=0.5 keeps integer-boundary collisions instead of trusting float
+    # rounding — extra keeps are verified away, prunes are provably safe.
+    t = NGRAM_JACCARD_MIN
+    min_rem = F.least(
+        F.col("na") - F.col("rka") + 1, F.col("nb") - F.col("rkb") + 1
     )
     cand = (
-        pre.select(F.col("id").alias("a"), "blk", "s")
-        .join(pre.select(F.col("id").alias("b"), "blk", "s"), ["blk", "s"])
+        pre.select(
+            F.col("id").alias("a"), "blk", "s",
+            F.col("n").alias("na"), F.col("rk").alias("rka"),
+        )
+        .join(
+            pre.select(
+                F.col("id").alias("b"), "blk", "s",
+                F.col("n").alias("nb"), F.col("rk").alias("rkb"),
+            ),
+            ["blk", "s"],
+        )
         .where(F.col("a") < F.col("b"))
+        .where(
+            (1.0 + t) * min_rem >= t * (F.col("na") + F.col("nb")) - F.lit(0.5)
+        )
         .select("a", "b")
         .distinct()
     )
