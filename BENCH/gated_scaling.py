@@ -103,6 +103,11 @@ def main() -> None:
     ap.add_argument("--rounds", type=int, default=4)
     ap.add_argument("--files", type=int, default=8_000_000)
     ap.add_argument("--map-files", type=int, default=2_000_000)
+    # ADVICE r05: the jsonl is append-only across invocations and round
+    # indices restart at 0, so per-round provenance needs an invocation
+    # id. Defaults to the launch timestamp; pass an explicit label to
+    # name a campaign.
+    ap.add_argument("--campaign", default=time.strftime("%Y%m%dT%H%M%S"))
     args = ap.parse_args()
 
     ensure_inputs(args.files, args.map_files)
@@ -132,6 +137,7 @@ def _run_round(rnd, args, py, scaling, mapsc, t_start) -> None:
     map_eff = (m2["wall_sec"] / m8["wall_sec"]) / 4.0
     rec = {
         "round": rnd,
+        "campaign": args.campaign,
         "probes_gb_s": [p0, p1, p2],
         "clean": min(p0, p1, p2) >= GATE_GB_S,
         "gate_gb_s": GATE_GB_S,
